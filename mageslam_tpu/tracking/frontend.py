@@ -1,0 +1,130 @@
+"""Feature-extraction frontend: image -> FrameFeatures.
+
+The batched equivalent of the reference's ImageAnalyzer + OrbFeatureDetector
+stage (Tasks/ImageAnalyzer.cpp:94-127: undistort dispatch -> ORB
+detectAndCompute -> BoW training feed;  Image/AnalyzedImage.h:25-160 is the
+immutable product).  One jitted program does blur -> FAST -> NMS -> gridded
+top-k -> orientation -> BRIEF -> keypoint undistortion for a whole frame;
+the output FrameFeatures is the fixed-shape analog of AnalyzedImage.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mageslam_tpu.config import FeatureExtractorSettings, PerCameraSettings
+from mageslam_tpu.geometry.camera import CameraCalibration, unproject
+from mageslam_tpu.ops import fast, orb, pyramid, select
+
+
+class FrameFeatures(NamedTuple):
+    """Fixed-capacity per-frame features (analog of AnalyzedImage.h:25-160).
+
+    All arrays have leading dim = capacity.max_features; `valid` masks real
+    detections.  `uv` are detection (distorted-image) pixels; `xn_undist` are
+    undistorted *normalized* coords used by all geometry.
+    """
+
+    uv: jnp.ndarray          # (K, 2) float32
+    xn_undist: jnp.ndarray   # (K, 2) float32 normalized undistorted coords
+    response: jnp.ndarray    # (K,) float32
+    angle: jnp.ndarray       # (K,) float32 radians
+    octave: jnp.ndarray      # (K,) int32 pyramid level
+    desc: jnp.ndarray        # (K, 8) uint32 packed 256-bit BRIEF
+    valid: jnp.ndarray       # (K,) bool
+
+    @property
+    def count(self):
+        return jnp.sum(self.valid)
+
+
+def empty_features(max_features: int) -> FrameFeatures:
+    k = max_features
+    return FrameFeatures(
+        uv=jnp.zeros((k, 2), jnp.float32),
+        xn_undist=jnp.zeros((k, 2), jnp.float32),
+        response=jnp.zeros((k,), jnp.float32),
+        angle=jnp.zeros((k,), jnp.float32),
+        octave=jnp.zeros((k,), jnp.int32),
+        desc=jnp.zeros((k, 8), jnp.uint32),
+        valid=jnp.zeros((k,), bool),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_features", "num_levels", "scale_factor",
+                     "gaussian_ksize", "use_orientation", "cells_x",
+                     "cells_y", "per_cell"))
+def extract_features(img: jnp.ndarray, cal: CameraCalibration,
+                     fast_threshold: float,
+                     max_features: int = 512,
+                     num_levels: int = 1,
+                     scale_factor: float = 1.5,
+                     gaussian_ksize: int = 7,
+                     use_orientation: bool = False,
+                     cells_x: int = 32, cells_y: int = 32,
+                     per_cell: int = 4) -> FrameFeatures:
+    """Full frontend on a grayscale float32 (H, W) image.
+
+    Multi-level detection splits the feature budget per level by inverse
+    scale area (like the reference's per-level allocation) and maps keypoint
+    coords back to level-0 pixels.
+    """
+    img = img.astype(jnp.float32)
+    levels = pyramid.build_pyramid(img, num_levels, scale_factor)
+
+    per_level_feats = []
+    # budget per level proportional to pixel count
+    areas = [lv.shape[0] * lv.shape[1] for lv in levels]
+    total_area = sum(areas)
+    budgets = [max(16, int(round(max_features * a / total_area)))
+               for a in areas]
+    # fix rounding so sum == max_features
+    budgets[0] += max_features - sum(budgets)
+
+    for lvl, (lv_img, budget) in enumerate(zip(levels, budgets)):
+        smooth = pyramid.gaussian_blur(lv_img, gaussian_ksize)
+        score = fast.detect(lv_img, fast_threshold)
+        kps = select.select_gridded(score, budget, cells_x, cells_y, per_cell)
+        angles = orb.compute_orientations(smooth, kps.uv)
+        desc = orb.compute_descriptors(smooth, kps.uv, angles,
+                                       use_orientation)
+        scale = scale_factor ** lvl
+        per_level_feats.append(FrameFeatures(
+            uv=kps.uv * scale,
+            xn_undist=jnp.zeros_like(kps.uv),
+            response=kps.response,
+            angle=angles,
+            octave=jnp.full((budget,), lvl, jnp.int32),
+            desc=desc,
+            valid=kps.valid,
+        ))
+
+    f = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *per_level_feats)
+    # undistorted normalized coords for geometry (reference undistorts
+    # keypoints rather than pixels by default, PerCameraSettings
+    # .UndistortImagePixels=false)
+    xn = unproject(cal, f.uv)[..., :2]
+    return f._replace(xn_undist=xn)
+
+
+def extract_for_settings(img: jnp.ndarray, cal: CameraCalibration,
+                         cam: PerCameraSettings,
+                         max_features: int) -> FrameFeatures:
+    """Frontend driven by a PerCameraSettings bag."""
+    fe: FeatureExtractorSettings = cam.features
+    return extract_features(
+        img, cal,
+        fast_threshold=float(fe.fast_threshold),
+        max_features=max_features,
+        num_levels=int(fe.num_levels),
+        scale_factor=float(fe.scale_factor),
+        gaussian_ksize=int(fe.gaussian_kernel_size),
+        use_orientation=bool(fe.use_orientation),
+        cells_x=int(fe.num_cells_x), cells_y=int(fe.num_cells_y),
+    )
