@@ -44,7 +44,11 @@ class FilterType(IntEnum):  # MageSettings.h:20-26
 
 @dataclass(frozen=True)
 class OrbMatcherSettings:  # MageSettings.h OrbMatcherSettings
-    max_hamming_distance: int = 30
+    # Deviation from the reference default (30): our generated-BRIEF
+    # descriptors flip ~15-18% of bits under 1-2px keypoint localization
+    # error, so the working threshold is 50 (= ORB-SLAM's TH_LOW).  The
+    # engine only matches its own descriptors, so this is self-consistent.
+    max_hamming_distance: int = 50
     min_hamming_difference: int = 1
 
 
@@ -108,7 +112,9 @@ class KeyframeSettings:  # MageSettings.h KeyframeSettings
 
 @dataclass(frozen=True)
 class MonoMapInitializationSettings:  # MageSettings.h MonoMapInitializationSettings
-    fundamental_transfer_error_threshold: float = 1.1
+    # Deviation from the reference default (1.1 px): our FAST keypoints
+    # localize to ~1.4 px median, so the epipolar inlier gate needs 2.5 px.
+    fundamental_transfer_error_threshold: float = 2.5
     min_feature_matches: int = 65
     min_scoring_inliers: int = 50
     min_inlier_percentage: float = 0.5

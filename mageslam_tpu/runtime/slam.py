@@ -1,0 +1,413 @@
+"""MageSlamTPU — the public SLAM façade and host-side scheduler.
+
+Equivalent of the reference's public API + runtime orchestration:
+  - mage::MAGESlam (MageSlam.h:25-187: ProcessFrame -> future<Tracking>,
+    Fossilize -> immutable trajectory, gravity/scale queries)
+  - Tasks/Runtime.* (Runtime.cpp:365-398 TrackMono, :510-587 the
+    tracking/mapping interleave schedule, :271-301 lost-tracking
+    bookkeeping)
+  - Tasks/MappingWorker.* (MappingWorker.cpp:147-372: insert+cull ->
+    new points -> local BA with persisted lambda -> keyframe culling)
+  - Tasks/InitializationWorker.* (init attempt per frame until success)
+
+Concurrency design: the reference pipelines three dispatcher threads with
+state-machine barriers so map WRITES happen at defined points between
+tracking READS.  Here every stage is a pure function over MapState, so the
+interleave is simply sequential host code — the tracking step reads the
+state version produced by the last mapping commit, and JAX's async dispatch
+overlaps device work with host bookkeeping.  Mapping work is dispatched
+non-blocking (device futures); only the per-frame pose is fetched
+synchronously.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from enum import Enum
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mageslam_tpu.config import MageSlamSettings
+from mageslam_tpu.geometry import se3
+from mageslam_tpu.geometry.camera import CameraCalibration
+from mageslam_tpu.mapping import culling, global_ba, local_ba, new_points
+from mageslam_tpu.mapstore import map_state as ms
+from mageslam_tpu.mapstore import pose_history as ph
+from mageslam_tpu.ops import pyramid
+from mageslam_tpu.tracking import initialization, track
+from mageslam_tpu.tracking.frontend import extract_for_settings
+from mageslam_tpu.tracking.keyframe_decision import (KeyframeDecisionInputs,
+                                                     should_add_keyframe)
+
+
+class TrackingState(Enum):
+    """Per-frame outcome (reference TrackingState, Runtime.cpp:271-301)."""
+
+    SKIPPED = "skipped"
+    INITIALIZING = "initializing"
+    TRACKING = "tracking"
+    RELOCALIZING = "relocalizing"
+
+
+@dataclasses.dataclass
+class TrackingResult:
+    frame_id: int
+    timestamp: float
+    state: TrackingState
+    pose: Optional[np.ndarray] = None       # (7,) view pose when tracked
+
+    @property
+    def mat44(self) -> Optional[np.ndarray]:
+        if self.pose is None:
+            return None
+        return np.asarray(se3.pose_to_mat44(jnp.asarray(self.pose)))
+
+
+class MageSlamTPU:
+    """Monocular keyframe SLAM engine (MageSlam.h:25-187 analog)."""
+
+    def __init__(self, settings: MageSlamSettings,
+                 calibration: CameraCalibration,
+                 seed: int = 0):
+        self.settings = settings
+        self.cal = calibration
+        cap = settings.capacity
+        self._map = ms.empty_map(cap.max_keyframes, cap.max_features,
+                                 cap.max_map_points)
+        self._history = ph.empty_history(cap.pose_history_size)
+        self._key = jax.random.key(seed)
+        self._initialized = False
+        self._frame_id = 0
+        self._init_buffer: list = []    # [(frame_id, ts, feats)]
+        self._pose_prev: Optional[jnp.ndarray] = None
+        self._pose_prev2: Optional[jnp.ndarray] = None
+        self._last_kf: int = 0
+        self._frames_since_kf = 0
+        self._frames_since_reloc = 10_000
+        self._lost_count = 0
+        self._lam = float(settings.mapping.min_lambda)
+        self._covis_threshold = float(settings.covisibility
+                                      .covis_min_threshold)
+        self._results: dict[int, TrackingResult] = {}
+        self._kf_frame_ids: list[int] = []
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def process_frame(self, img, timestamp: Optional[float] = None
+                      ) -> TrackingResult:
+        """Track one frame (MAGESlam::ProcessFrame, MageSlam.h:150).
+
+        img: (H, W) grayscale (uint8 or float) or (H, W, 3) BGR.
+        """
+        fid = self._frame_id
+        self._frame_id += 1
+        ts = timestamp if timestamp is not None else fid / 30.0
+
+        gray = pyramid.to_gray_f32(img)
+        feats = extract_for_settings(
+            gray, self.cal, self.settings.mono.camera,
+            self.settings.capacity.max_features)
+
+        if not self._initialized:
+            result = self._try_initialize(fid, ts, feats)
+        else:
+            result = self._track(fid, ts, feats)
+        self._results[fid] = result
+        return result
+
+    def fossilize(self):
+        """Stop, final global BA, immutable trajectory
+        (MAGESlam::Fossilize, MAGESlam.cpp:322-383)."""
+        from mageslam_tpu.runtime.fossilized import FossilizedMap
+        s = self.settings
+        px = 1.0 / float(self.cal.fx)
+        num_steps = max(int(s.graph_optimization.num_steps), 10)
+        if self._initialized:
+            self._map, _ = global_ba.global_bundle_adjust(
+                self._map,
+                jnp.float32(s.bundle_adjust.huber_width * px),
+                jnp.float32(s.graph_optimization.max_outlier_error * px),
+                num_steps=num_steps, lam0=self._lam)
+        return FossilizedMap.from_engine(self)
+
+    def get_tracking_results_for_frames(self, frame_ids):
+        """Re-read per-frame results with poses updated by all later
+        optimization (MAGESlam::GetTrackingResultsForFrames)."""
+        poses, ok = ph.world_poses(self._history, self._map.kf_pose,
+                                   self._map.kf_valid)
+        poses = np.asarray(poses)
+        ok = np.asarray(ok)
+        hist_fid = np.asarray(self._history.frame_id)
+        out = []
+        for fid in frame_ids:
+            match = np.nonzero(ok & (hist_fid == fid))[0]
+            if len(match):
+                r = self._results.get(fid)
+                out.append(TrackingResult(
+                    fid, r.timestamp if r else fid / 30.0,
+                    TrackingState.TRACKING, poses[match[0]]))
+            else:
+                r = self._results.get(
+                    fid, TrackingResult(fid, fid / 30.0,
+                                        TrackingState.SKIPPED))
+                out.append(r)
+        return out
+
+    @property
+    def map_state(self) -> ms.MapState:
+        return self._map
+
+    @property
+    def num_keyframes(self) -> int:
+        return int(jnp.sum(self._map.kf_valid))
+
+    @property
+    def num_map_points(self) -> int:
+        return int(jnp.sum(self._map.mp_valid))
+
+    # ------------------------------------------------------------------
+    # initialization (InitializationWorker.cpp:40-95)
+    # ------------------------------------------------------------------
+
+    def _try_initialize(self, fid, ts, feats) -> TrackingResult:
+        s = self.settings.mono.map_init
+        self._init_buffer.append((fid, ts, feats))
+        # drop buffered frames beyond the max interval
+        self._init_buffer = [
+            (f, t, ft) for (f, t, ft) in self._init_buffer
+            if ts - t <= s.max_initialization_interval_ms / 1000.0]
+
+        # pick the newest frame satisfying the min interval (smallest
+        # eligible baseline — wide pairs lose matchability fastest)
+        partner = None
+        for (f, t, ft) in self._init_buffer:
+            if ts - t >= s.min_initialization_interval_ms / 1000.0:
+                partner = (f, t, ft)
+        if partner is None:
+            return TrackingResult(fid, ts, TrackingState.INITIALIZING)
+
+        self._key, sub = jax.random.split(self._key)
+        res = initialization.attempt_initialization(
+            sub, partner[2], feats, s, float(self.cal.fx))
+        if not bool(res.success):
+            return TrackingResult(fid, ts, TrackingState.INITIALIZING)
+
+        self._seed_map(partner, (fid, ts, feats), res)
+        return TrackingResult(fid, ts, TrackingState.TRACKING,
+                              np.asarray(res.pose1))
+
+    def _seed_map(self, frame0, frame1, res: initialization.InitResult):
+        (fid0, ts0, f0), (fid1, ts1, f1) = frame0, frame1
+        F = f0.valid.shape[0]
+        desc = f0.desc
+        # mean viewing direction = camera->point unit vector (camera 0 is at
+        # the origin), matching the visibility gate in tracking/track.py
+        normal = res.points / jnp.maximum(
+            jnp.linalg.norm(res.points, axis=-1, keepdims=True), 1e-9)
+        self._map, mp_ids = ms.allocate_map_points(
+            self._map, res.points, desc, normal, 0, res.point_valid)
+        created = mp_ids >= 0
+        # keyframe 0 at identity (immortal — the gauge origin)
+        assoc0 = jnp.where(created, mp_ids, -1)
+        self._map, s0 = ms.insert_keyframe(
+            self._map, se3.pose_identity(), f0, assoc0, fid0, immortal=True)
+        # keyframe 1 associations via the match index
+        feat1 = jnp.clip(res.match_idx, 0)
+        assoc1 = jnp.full(F + 1, -1, jnp.int32).at[
+            jnp.where(created & (res.match_idx >= 0), feat1, F)
+        ].set(jnp.where(created, mp_ids, -1))[:F]
+        self._map, s1 = ms.insert_keyframe(
+            self._map, res.pose1, f1, assoc1, fid1, immortal=True)
+
+        self._history = ph.add_pose(self._history, fid0, ts0,
+                                    se3.pose_identity(), s0,
+                                    se3.pose_identity())
+        self._history = ph.add_pose(self._history, fid1, ts1, res.pose1,
+                                    s1, res.pose1)
+        self._initialized = True
+        self._init_buffer.clear()
+        self._pose_prev = res.pose1
+        # zero-velocity prior: the init pair spans several frames, so
+        # extrapolating its delta per-frame would overshoot wildly
+        self._pose_prev2 = res.pose1
+        self._last_kf = int(s1)
+        self._frames_since_kf = 0
+        self._kf_frame_ids = [fid0, fid1]
+
+    # ------------------------------------------------------------------
+    # steady-state tracking (Runtime.cpp:165-232 TrackFrame)
+    # ------------------------------------------------------------------
+
+    def _motion_prior(self) -> jnp.ndarray:
+        if self._pose_prev2 is None:
+            return self._pose_prev
+        return se3.constant_velocity_extrapolate(self._pose_prev2,
+                                                 self._pose_prev)
+
+    def _track(self, fid, ts, feats) -> TrackingResult:
+        s = self.settings
+        prior = self._motion_prior()
+        tres = track.track_frame(self._map, feats, prior, self._last_kf,
+                                 self.cal, s)
+        if not bool(tres.success):
+            self._lost_count += 1
+            if self._lost_count >= s.track_local_map \
+                    .tracking_lost_count_until_reloc:
+                return self._relocalize(fid, ts, feats)
+            return TrackingResult(fid, ts, TrackingState.SKIPPED)
+
+        self._lost_count = 0
+        pose = tres.pose
+        ref_kf = int(tres.ref_kf)
+
+        # pose history (anchor on the reference keyframe)
+        self._history = ph.add_pose(self._history, fid, ts, pose, ref_kf,
+                                    self._map.kf_pose[ref_kf])
+        # recent-point stats
+        self._map = culling.accumulate_tracking_stats(
+            self._map, tres.local_mp_mask, tres.found_mp_mask)
+
+        # keyframe decision
+        self._frames_since_kf += 1
+        self._frames_since_reloc += 1
+        mem_ref = int(jnp.sum(ms.member_matrix(self._map)[ref_kf]))
+        cam_c = se3.camera_center(pose)
+        ref_c = se3.camera_center(self._map.kf_pose[ref_kf])
+        y = se3.pose_apply(pose[None], self._map.mp_pos)
+        depths = jnp.where(tres.found_mp_mask & (y[:, 2] > 0), y[:, 2],
+                           jnp.inf)
+        min_depth = float(jnp.min(depths))
+        decision = should_add_keyframe(s.keyframe, KeyframeDecisionInputs(
+            frames_since_keyframe=self._frames_since_kf,
+            frames_since_reloc=self._frames_since_reloc,
+            num_tracked_points=int(tres.num_inliers),
+            ref_kf_point_count=mem_ref,
+            num_matches=int(tres.num_matched),
+            mapping_idle=True,  # synchronous mapping: always idle
+            motion_distance=float(jnp.linalg.norm(cam_c - ref_c)),
+            min_scene_depth=min_depth if np.isfinite(min_depth) else 1.0,
+        ))
+        if decision:
+            self._mapping_step(fid, feats, pose, tres.assoc)
+
+        self._pose_prev2 = self._pose_prev
+        self._pose_prev = pose
+        return TrackingResult(fid, ts, TrackingState.TRACKING,
+                              np.asarray(pose))
+
+    def _relocalize(self, fid, ts, feats) -> TrackingResult:
+        """Lost-mode recovery.  BoW-candidate relocalization lands with the
+        BoW milestone; until then stays lost (reference behavior without
+        candidates, PoseEstimationWorker.cpp:74-97).
+
+        Infant-map reset: if tracking dies while the map is still tiny
+        (<= 3 keyframes), the initialization was weak — wipe and
+        re-bootstrap rather than stay lost forever.
+        """
+        if self.num_keyframes <= 3:
+            self._reset_map()
+        return TrackingResult(fid, ts, TrackingState.RELOCALIZING)
+
+    def _reset_map(self):
+        cap = self.settings.capacity
+        self._map = ms.empty_map(cap.max_keyframes, cap.max_features,
+                                 cap.max_map_points)
+        self._history = ph.empty_history(cap.pose_history_size)
+        self._initialized = False
+        self._init_buffer.clear()
+        self._pose_prev = None
+        self._pose_prev2 = None
+        self._lost_count = 0
+        self._kf_frame_ids = []
+
+    # ------------------------------------------------------------------
+    # mapping (MappingWorker.cpp:147-372)
+    # ------------------------------------------------------------------
+
+    def _mapping_step(self, fid, feats, pose, assoc):
+        s = self.settings
+        px = 1.0 / float(self.cal.fx)
+
+        # capacity guard: when keyframe slots are exhausted, force-cull the
+        # most redundant non-immortal keyframe first (insert would otherwise
+        # clobber slot 0)
+        if self.num_keyframes >= self._map.kf_valid.shape[0]:
+            cres = culling.cull_keyframes(
+                self._map, self._last_kf, jnp.float32(0.0), jnp.int32(1))
+            if int(cres.num_keyframes_culled) == 0:
+                return  # nothing cullable; drop this keyframe
+            dead = cres.kf_culled_mask
+            targets = ph.nearest_valid_kf(self._map.kf_valid, dead,
+                                          self._history.anchor_kf)
+            self._history = ph.reanchor(self._history, self._map.kf_pose,
+                                        self._map.kf_valid, dead, targets)
+            self._map = cres.map
+
+        # 1. insert keyframe with tracked associations
+        self._map, slot = ms.insert_keyframe(self._map, pose, feats, assoc,
+                                             fid)
+        slot = int(slot)
+        self._last_kf = slot
+        self._frames_since_kf = 0
+        self._kf_frame_ids.append(fid)
+
+        # 2. recent-map-point culling
+        self._map, _ = culling.cull_recent_map_points(
+            self._map,
+            jnp.float32(s.track_local_map.recent_map_point_pct_success),
+            jnp.int32(s.mapping.min_num_keyframes_for_map_point_culling))
+
+        # 3. new map points
+        npres = new_points.create_new_map_points(
+            self._map, slot, self.cal, s.mapping.new_map_points,
+            float(self.cal.fx),
+            num_candidates=int(s.mapping.new_map_points
+                               .max_frames_for_new_points_creation))
+        self._map = npres.map
+
+        # 4. local BA with adaptive covis threshold + persisted lambda
+        cap = s.capacity
+        win = local_ba.build_local_window(
+            self._map, slot, jnp.int32(self._covis_threshold),
+            window_size=cap.local_ba_keyframes,
+            num_fixed=8, max_points=cap.local_ba_points)
+        n_conn = int(jnp.sum(win.problem.obs_valid))
+        cv = s.covisibility
+        if n_conn > cv.upper_connections_for_ba:
+            self._covis_threshold += cv.covis_ba_step_threshold
+        elif n_conn < cv.lower_connections_for_ba:
+            self._covis_threshold = max(
+                cv.covis_min_threshold,
+                self._covis_threshold - cv.covis_ba_step_threshold)
+
+        from mageslam_tpu.solvers.bundle_adjust import bundle_adjust
+        steps = max(int(s.bundle_adjust.num_steps) * 4, 4)
+        res = bundle_adjust(
+            win.problem,
+            jnp.float32(s.bundle_adjust.huber_width * px),
+            jnp.float32(s.bundle_adjust.max_outlier_error * px),
+            num_steps=steps,
+            lam0=self._lam if s.mapping.persist_lambda else 1e-4)
+        if s.mapping.persist_lambda:
+            self._lam = max(float(res.lam), s.mapping.min_lambda)
+        self._map = local_ba.apply_window_result(self._map, win, res)
+        if s.track_local_map.unassociate_outliers:
+            self._map = local_ba.unassociate_outliers(self._map, win, res)
+
+        # 5. keyframe culling + history re-anchoring
+        cres = culling.cull_keyframes(
+            self._map, slot,
+            jnp.float32(s.keyframe.mapping_max_tracking_point_overlap),
+            jnp.int32(s.keyframe.min_keyframe_covisibility_count))
+        if int(cres.num_keyframes_culled) > 0:
+            dead = cres.kf_culled_mask
+            targets = ph.nearest_valid_kf(self._map.kf_valid, dead,
+                                          self._history.anchor_kf)
+            self._history = ph.reanchor(self._history, self._map.kf_pose,
+                                        self._map.kf_valid, dead, targets)
+        self._map = cres.map

@@ -1,0 +1,159 @@
+"""Per-frame tracking: prior -> project -> match -> optimize, one jit.
+
+Fuses the reference's PoseEstimationWorker + TrackLocalMapWorker hot path
+(Tracking/PoseEstimator.cpp:143-217 TryEstimatePoseWithPrior: project last
+frames' map points, radius-match, PnP;  Tracking/TrackLocalMap.cpp:43-300
+RunTrackLocalMap: candidate visibility gates, two-stage OptimizeCameraPose
+with outlier unassociation between, recent-point found/predicted scoring)
+into a single compiled program per frame — the "tracking step as one fused
+jit with minimal host sync" design (SURVEY.md §7 hard parts).
+
+Inputs are the full MapState plus the frame's features; the local map is
+selected inside the jit from the reference keyframe's covisibility.
+Output is the refined pose + the per-feature association vector (used
+directly as the keyframe association row if this frame is promoted).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mageslam_tpu.config import MageSlamSettings
+from mageslam_tpu.geometry import se3
+from mageslam_tpu.geometry.camera import CameraCalibration, project
+from mageslam_tpu.mapstore import map_state as ms
+from mageslam_tpu.ops import matching
+from mageslam_tpu.solvers import pnp
+from mageslam_tpu.tracking.frontend import FrameFeatures
+
+
+class TrackResult(NamedTuple):
+    pose: jnp.ndarray          # (7,) refined view pose
+    success: jnp.ndarray       # bool — enough inliers
+    assoc: jnp.ndarray         # (F,) int32 map-point id per feature or -1
+    num_matched: jnp.ndarray   # features matched to map points
+    num_inliers: jnp.ndarray   # surviving optimization
+    mean_sq_error: jnp.ndarray
+    local_mp_mask: jnp.ndarray  # (L,) map points considered (predicted)
+    found_mp_mask: jnp.ndarray  # (L,) map points actually found
+    ref_kf: jnp.ndarray        # chosen reference keyframe (max shared)
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "max_local_kf"))
+def track_frame(m: ms.MapState, feats: FrameFeatures,
+                prior_pose: jnp.ndarray, last_kf,
+                cal: CameraCalibration,
+                settings: MageSlamSettings,
+                max_local_kf: int = 16) -> TrackResult:
+    s = settings
+    K, F, L = ms.capacities(m)
+    fx = cal.fx
+    px = 1.0 / fx
+
+    # ---- local map: keyframes covisible with the reference keyframe
+    kf_idx, kf_ok = ms.connected_keyframes(
+        m, last_kf, min_shared=1, max_connected=max_local_kf - 1)
+    kf_list = jnp.concatenate([jnp.asarray(last_kf, jnp.int32)[None],
+                               kf_idx])
+    kf_ok = jnp.concatenate([jnp.array([True]), kf_ok])
+    local_mp = ms.local_map_points(m, kf_list, kf_ok)     # (L,) bool
+
+    # ---- stage 1: match against map points via projection at the prior
+    uv_pred, z_pred = project(cal, se3.pose_apply(prior_pose[None], m.mp_pos))
+    in_img = ((uv_pred[:, 0] >= 0) & (uv_pred[:, 0] <= cal.width - 1)
+              & (uv_pred[:, 1] >= 0) & (uv_pred[:, 1] <= cal.height - 1))
+    # viewing-angle gate (MinDegreesBetweenCurrentViewAndMapPointView)
+    cam_center = se3.camera_center(prior_pose)
+    view_dir = m.mp_pos - cam_center
+    view_dir = view_dir / jnp.maximum(
+        jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-9)
+    cos_view = jnp.sum(view_dir * m.mp_normal, axis=-1)
+    has_normal = jnp.linalg.norm(m.mp_normal, axis=-1) > 0.5
+    angle_ok = ~has_normal | (cos_view > jnp.cos(jnp.deg2rad(
+        s.track_local_map.min_degrees_between_current_view_and_map_point_view)))
+    candidates = local_mp & (z_pred > 0) & in_img & angle_ok
+
+    def match_round(radius_px, max_ham):
+        idx, dist = matching.radius_match(
+            uv_pred, m.mp_desc, candidates,
+            feats.uv, feats.desc, feats.valid,
+            radius=jnp.asarray(radius_px, jnp.float32),
+            max_distance=max_ham,
+            min_difference=s.track_local_map.matcher.min_hamming_difference)
+        return matching.assign_unique(idx, dist)
+
+    ham = s.track_local_map.matcher.max_hamming_distance
+    mp2feat = match_round(s.pose_estimation.search_radius, ham)
+    # widen if too few (PoseEstimationSettings wider radii)
+    n1 = jnp.sum(mp2feat >= 0)
+    mp2feat_wide = match_round(s.pose_estimation.wider_search_radius, ham)
+    mp2feat = jnp.where(
+        n1 < s.pose_estimation.feature_match_threshold, mp2feat_wide,
+        mp2feat)
+
+    # ---- optimize pose on matches (stage-1 BA:
+    # InitialPoseEstimateBundleAdjustmentSteps)
+    matched = mp2feat >= 0
+    obs_xn = feats.xn_undist[jnp.clip(mp2feat, 0)]
+    res1 = pnp.refine_pose(
+        prior_pose, m.mp_pos, obs_xn, matched,
+        huber_delta=jnp.float32(
+            s.track_local_map.initial_pose_ba_huber_width * px),
+        outlier_thresh=jnp.float32(
+            s.track_local_map.max_outlier_error_pose_estimation * px),
+        iters=6)
+
+    # ---- stage 2: re-project at refined pose, associate more, re-optimize
+    uv_pred2, z_pred2 = project(cal,
+                                se3.pose_apply(res1.pose[None], m.mp_pos))
+    in_img2 = ((uv_pred2[:, 0] >= 0) & (uv_pred2[:, 0] <= cal.width - 1)
+               & (uv_pred2[:, 1] >= 0) & (uv_pred2[:, 1] <= cal.height - 1))
+    candidates2 = local_mp & (z_pred2 > 0) & in_img2 & angle_ok
+    idx2, dist2 = matching.radius_match(
+        uv_pred2, m.mp_desc, candidates2,
+        feats.uv, feats.desc, feats.valid,
+        radius=jnp.asarray(s.track_local_map.match_search_radius,
+                           jnp.float32),
+        max_distance=ham,
+        min_difference=s.track_local_map.matcher.min_hamming_difference)
+    idx2 = matching.assign_unique(idx2, dist2)
+    # keep stage-1 inlier matches, add new ones
+    keep1 = matched & res1.inliers
+    mp2feat = jnp.where(keep1, mp2feat, jnp.where(idx2 >= 0, idx2, -1))
+    matched = mp2feat >= 0
+    obs_xn = feats.xn_undist[jnp.clip(mp2feat, 0)]
+    res2 = pnp.refine_pose(
+        res1.pose, m.mp_pos, obs_xn, matched,
+        huber_delta=jnp.float32(s.track_local_map.ba_huber_width * px),
+        outlier_thresh=jnp.float32(s.track_local_map.max_outlier_error * px),
+        iters=6)
+
+    inlier_mp = matched & res2.inliers
+
+    # ---- per-feature association vector (invert mp->feat)
+    feat_safe = jnp.where(inlier_mp, mp2feat, F)
+    assoc = jnp.full(F + 1, -1, jnp.int32).at[feat_safe].set(
+        jnp.arange(L, dtype=jnp.int32))[:F]
+
+    # ---- reference keyframe = most shared points among local kfs
+    mem = ms.member_matrix(m)
+    shared = jnp.sum(mem & inlier_mp[None, :], axis=1)
+    shared = jnp.where(m.kf_valid, shared, -1)
+    ref_kf = jnp.argmax(shared).astype(jnp.int32)
+
+    n_inl = jnp.sum(inlier_mp)
+    return TrackResult(
+        pose=res2.pose,
+        success=n_inl >= s.track_local_map.min_tracked_feature_count,
+        assoc=assoc,
+        num_matched=jnp.sum(matched),
+        num_inliers=n_inl,
+        mean_sq_error=res2.mean_sq_error,
+        local_mp_mask=candidates,
+        found_mp_mask=inlier_mp,
+        ref_kf=ref_kf,
+    )
