@@ -1,0 +1,181 @@
+"""Loop closure: detection, Sim(3) correction, map-point merging.
+
+Equivalent of the reference's LoopClosureWorker (Tasks/LoopClosureWorker.cpp):
+  DetectLoop (:108-162) — non-covisible similar keyframe clusters (BoW) ->
+    per-cluster relocalization -> survival test -> scale from shared-point
+    depth ratios (:300-320)
+  CloseLoop (:164-210) — move the covisible set by the similarity
+    transform (CloseDetectedLoop :332-375), merge duplicate map points
+    (Map.UpdateKeyframesFromProxies), then a global BA.
+
+This build additionally offers the Sim3 pose-graph relaxation
+(solvers/pose_graph.py) before the global BA — the essential-graph
+optimization the reference ships unused (PoseGraphOptimizer.h:18-65).
+
+Correction math follows the standard monocular loop correction: with
+g_old = Sim3(T_current_kf, 1) and g_new = Sim3(T_reloc, s) (s = old/new map
+scale from depth ratios), corrected points are X' = (g_new^-1 ∘ g_old)(X)
+and corrected keyframe views are S' = S ∘ g_old^-1 ∘ g_new, converted back
+to SE3 as [R', t'/s'].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mageslam_tpu.config import LoopClosureSettings, RelocalizationSettings
+from mageslam_tpu.bow import database as bdb
+from mageslam_tpu.geometry import se3, sim3
+from mageslam_tpu.geometry.camera import CameraCalibration, project
+from mageslam_tpu.mapstore import map_state as ms
+from mageslam_tpu.ops import matching
+from mageslam_tpu.tracking import relocalization
+from mageslam_tpu.tracking.frontend import FrameFeatures
+
+
+class LoopDetection(NamedTuple):
+    found: jnp.ndarray         # bool
+    loop_kf: jnp.ndarray       # candidate keyframe in the old cluster
+    reloc_pose: jnp.ndarray    # (7,) current kf pose in old-map frame
+    scale: jnp.ndarray         # old/current map scale
+    num_inliers: jnp.ndarray
+    cluster_mask: jnp.ndarray  # (K,) the old cluster's keyframes
+
+
+@functools.partial(jax.jit, static_argnames=("reloc_settings", "settings",
+                                             "fx"))
+def detect_loop(key: jax.Array, m: ms.MapState, db: bdb.BowDatabase,
+                kf_slot, settings: LoopClosureSettings,
+                reloc_settings: RelocalizationSettings,
+                fx: float) -> LoopDetection:
+    """DetectLoop: BoW clusters -> relocalization -> scale estimation."""
+    K, F, L = ms.capacities(m)
+    desc = m.kf_desc[kf_slot]
+    fvalid = m.kf_feat_valid[kf_slot]
+
+    cand_idx, scores, cand_ok, clusters = bdb.query_clusters(
+        db, m, kf_slot, desc, fvalid,
+        covis_threshold=settings.min_cluster_size,
+        max_results=4)
+    # cluster-size gate (MinClusterSize)
+    cand_ok &= jnp.sum(clusters, axis=1) >= settings.min_cluster_size
+
+    feats = FrameFeatures(
+        uv=m.kf_uv[kf_slot], xn_undist=m.kf_xn[kf_slot],
+        response=jnp.ones(F), angle=jnp.zeros(F),
+        octave=m.kf_octave[kf_slot], desc=desc, valid=fvalid)
+    rres = relocalization.relocalize(key, m, feats, cand_idx, cand_ok,
+                                     reloc_settings, fx)
+
+    # scale from shared-point depths (LoopClosureWorker.cpp:300-320): for
+    # features of this keyframe matched BOTH to a current-map point (own
+    # association) and to an old-cluster point (descriptor match against
+    # the winning loop keyframe), compare the OLD point's depth under the
+    # reloc pose with the CURRENT point's depth under the current pose
+    loop_kf = jnp.clip(rres.candidate_kf, 0)
+    old_has_mp = m.kf_feat_valid[loop_kf] & (m.kf_assoc[loop_kf] >= 0)
+    midx, _ = matching.match(
+        desc, m.kf_desc[loop_kf], fvalid, old_has_mp,
+        max_distance=reloc_settings.matcher.max_hamming_distance,
+        min_difference=reloc_settings.matcher.min_hamming_difference)
+    old_mp = m.kf_assoc[loop_kf][jnp.clip(midx, 0)]
+    own_assoc = m.kf_assoc[kf_slot]
+    shared = fvalid & (midx >= 0) & (old_mp >= 0) & (own_assoc >= 0)
+    old_pts = m.mp_pos[jnp.clip(old_mp, 0, L - 1)]
+    cur_pts = m.mp_pos[jnp.clip(own_assoc, 0, L - 1)]
+    z_old = se3.pose_apply(rres.pose[None], old_pts)[:, 2]
+    z_cur = se3.pose_apply(m.kf_pose[kf_slot][None], cur_pts)[:, 2]
+    wsum = shared & (z_cur > 0.1) & (z_old > 0.1)
+    s_num = jnp.sum(jnp.where(wsum, z_old, 0.0))
+    s_den = jnp.sum(jnp.where(wsum, z_cur, 0.0))
+    scale = jnp.clip(s_num / jnp.maximum(s_den, 1e-6), 0.1, 10.0)
+
+    # which cluster won
+    ci = jnp.argmax(jnp.where(cand_idx == rres.candidate_kf,
+                              jnp.arange(cand_idx.shape[0]) + 1, 0))
+    cluster = clusters[ci]
+
+    found = rres.success & (rres.num_inliers
+                            >= jnp.int32(settings.min_feature_matches))
+    return LoopDetection(found, rres.candidate_kf, rres.pose, scale,
+                         rres.num_inliers, cluster)
+
+
+@jax.jit
+def apply_similarity_correction(m: ms.MapState, kf_slot,
+                                det: LoopDetection) -> ms.MapState:
+    """CloseDetectedLoop: move the current covisible set (keyframes +
+    their points) by the loop similarity."""
+    K, F, L = ms.capacities(m)
+    # Derivation: with T_c the current (drifted) view, T_r the reloc view
+    # (old-map frame), and s = z_old/z_cur, the same physical point seen at
+    # camera coords y by T_c sits at s*y in old-map camera units, so
+    #   X_old = T_r^-1( s * T_c(X_drifted) )  =>  M = T_r^-1 ∘ S_s ∘ T_c.
+    # Keyframe views correct as S_i' = S_i ∘ M^-1 (Sim3), converted to SE3
+    # by [R', t'/s'] which lands their depths in old-map units.
+    T_c = m.kf_pose[kf_slot]
+    g_c_scaled = sim3.make_sim3(se3.pose_q(T_c),
+                                det.scale * se3.pose_t(T_c), det.scale)
+    point_map = sim3.sim3_compose(
+        sim3.sim3_from_se3(se3.pose_inverse(det.reloc_pose)), g_c_scaled)
+    kf_right = sim3.sim3_inverse(point_map)
+
+    # covisible set of the current keyframe (the drifted side)
+    cov = ms.covisibility(m)
+    covisible = ((cov[kf_slot] > 0) | (jnp.arange(K) == kf_slot)) \
+        & m.kf_valid
+    # points owned by the covisible set
+    mem = ms.member_matrix(m)
+    pts_move = jnp.any(mem & covisible[:, None], axis=0) & m.mp_valid
+
+    new_pts = sim3.sim3_apply(point_map, m.mp_pos)
+    mp_pos = jnp.where(pts_move[:, None], new_pts, m.mp_pos)
+
+    def correct_pose(pose):
+        s = sim3.sim3_compose(sim3.sim3_from_se3(pose, 1.0), kf_right)
+        t = sim3.sim3_t(s) / sim3.sim3_s(s)
+        return se3.make_pose(sim3.sim3_q(s), t)
+
+    new_poses = jax.vmap(correct_pose)(m.kf_pose)
+    kf_pose = jnp.where(covisible[:, None], new_poses, m.kf_pose)
+    return m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def merge_loop_points(m: ms.MapState, kf_slot, det: LoopDetection,
+                      cal: CameraCalibration,
+                      settings: LoopClosureSettings) -> ms.MapState:
+    """Merge duplicated landmarks: project old-cluster points into the
+    corrected current keyframe, radius-match its associated features, and
+    merge the current (new) points into the old ones
+    (Map-point merge under StartLoopClosureState)."""
+    K, F, L = ms.capacities(m)
+    s = settings
+    pose = m.kf_pose[kf_slot]
+
+    old_pts = ms.local_map_points(
+        m, jnp.arange(K, dtype=jnp.int32), det.cluster_mask)
+    uv_pred, z = project(cal, se3.pose_apply(pose[None], m.mp_pos))
+    cand = old_pts & (z > 0)
+
+    # match old points against the current keyframe's features
+    idx, dist = matching.radius_match(
+        uv_pred, m.mp_desc, cand,
+        m.kf_uv[kf_slot], m.kf_desc[kf_slot], m.kf_feat_valid[kf_slot],
+        radius=jnp.asarray(s.match_search_radius, jnp.float32),
+        max_distance=s.map_merge_matching.max_hamming_distance,
+        min_difference=s.map_merge_matching.min_hamming_difference)
+    idx = matching.assign_unique(idx, dist)
+    # where the matched feature already has a (new-map) association,
+    # merge that new point into the old point
+    feat_assoc = m.kf_assoc[kf_slot][jnp.clip(idx, 0)]
+    mergeable = (idx >= 0) & (feat_assoc >= 0) & det.found
+    src = jnp.where(mergeable, feat_assoc, 0)      # new points
+    dst = jnp.arange(L, dtype=jnp.int32)           # old points
+    # avoid self-merge
+    mergeable &= src != dst
+    return ms.merge_map_points(m, src, dst, mergeable)

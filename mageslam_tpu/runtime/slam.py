@@ -30,14 +30,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mageslam_tpu.bow import database as bdb
+from mageslam_tpu.bow import vocab as bv
 from mageslam_tpu.config import MageSlamSettings
 from mageslam_tpu.geometry import se3
 from mageslam_tpu.geometry.camera import CameraCalibration
+from mageslam_tpu.loop import closure as loop_closure
 from mageslam_tpu.mapping import culling, global_ba, local_ba, new_points
 from mageslam_tpu.mapstore import map_state as ms
 from mageslam_tpu.mapstore import pose_history as ph
 from mageslam_tpu.ops import pyramid
-from mageslam_tpu.tracking import initialization, track
+from mageslam_tpu.tracking import initialization, relocalization, track
 from mageslam_tpu.tracking.frontend import extract_for_settings
 from mageslam_tpu.tracking.keyframe_decision import (KeyframeDecisionInputs,
                                                      should_add_keyframe)
@@ -93,6 +96,14 @@ class MageSlamTPU:
                                       .covis_min_threshold)
         self._results: dict[int, TrackingResult] = {}
         self._kf_frame_ids: list[int] = []
+        # BoW: vocabulary trained online from the first TrainingFrames
+        # frames' descriptors (reference gates on training completion,
+        # Runtime.cpp:247-250 — here only reloc/loop need it, so tracking
+        # proceeds while training accumulates)
+        self._bow = bdb.empty_database(cap.max_keyframes)
+        self._bow_training: list = []
+        self._bow_trained = False
+        self._loops_closed = 0
 
     # ------------------------------------------------------------------
     # public API
@@ -112,6 +123,7 @@ class MageSlamTPU:
         feats = extract_for_settings(
             gray, self.cal, self.settings.mono.camera,
             self.settings.capacity.max_features)
+        self._feed_bow_training(feats)
 
         if not self._initialized:
             result = self._try_initialize(fid, ts, feats)
@@ -300,10 +312,36 @@ class MageSlamTPU:
         return TrackingResult(fid, ts, TrackingState.TRACKING,
                               np.asarray(pose))
 
+    def _feed_bow_training(self, feats):
+        """Accumulate descriptors and train the vocabulary once enough
+        frames arrived (ImageAnalyzer.cpp:124 BoW.AddTrainingDescriptors +
+        OnlineBow online training)."""
+        s = self.settings.bag_of_words
+        if self._bow_trained:
+            return
+        self._bow_training.append((feats.desc, feats.valid))
+        if len(self._bow_training) >= s.training_frames:
+            desc = jnp.concatenate([d for d, _ in self._bow_training])
+            valid = jnp.concatenate([v for _, v in self._bow_training])
+            if int(jnp.sum(valid)) >= min(s.min_training_size, 256):
+                self._key, sub = jax.random.split(self._key)
+                vocab = bv.train_vocabulary(
+                    sub, desc, valid, iters=s.max_training_iteration)
+                self._bow = self._bow._replace(vocab=vocab)
+                self._bow_trained = True
+                self._bow_training.clear()
+                # backfill signatures for keyframes inserted pre-training
+                kf_ok = np.asarray(self._map.kf_valid)
+                for slot in np.nonzero(kf_ok)[0]:
+                    self._bow = bdb.add_keyframe(
+                        self._bow, int(slot), self._map.kf_desc[slot],
+                        self._map.kf_feat_valid[slot])
+            else:
+                self._bow_training.pop(0)
+
     def _relocalize(self, fid, ts, feats) -> TrackingResult:
-        """Lost-mode recovery.  BoW-candidate relocalization lands with the
-        BoW milestone; until then stays lost (reference behavior without
-        candidates, PoseEstimationWorker.cpp:74-97).
+        """Lost-mode recovery: BoW candidates -> PnP (reference
+        PoseEstimationWorker.cpp:74-97 lost path).
 
         Infant-map reset: if tracking dies while the map is still tiny
         (<= 3 keyframes), the initialization was weak — wipe and
@@ -311,6 +349,35 @@ class MageSlamTPU:
         """
         if self.num_keyframes <= 3:
             self._reset_map()
+            return TrackingResult(fid, ts, TrackingState.RELOCALIZING)
+        if self._bow_trained:
+            s = self.settings
+            cand_idx, _, cand_ok = bdb.query(
+                self._bow, feats.desc, feats.valid,
+                jnp.zeros_like(self._map.kf_valid),
+                qualifying_score=s.bag_of_words.qualifying_candidate_score,
+                max_results=s.mapping.max_reloc_query_results)
+            self._key, sub = jax.random.split(self._key)
+            rres = relocalization.relocalize(
+                sub, self._map, feats, cand_idx, cand_ok,
+                s.relocalization, float(self.cal.fx))
+            if bool(rres.success):
+                # re-track from the recovered prior to refine + associate
+                tres = track.track_frame(self._map, feats, rres.pose,
+                                         int(rres.candidate_kf),
+                                         self.cal, s)
+                if bool(tres.success):
+                    self._lost_count = 0
+                    self._frames_since_reloc = 0
+                    pose = tres.pose
+                    ref_kf = int(tres.ref_kf)
+                    self._history = ph.add_pose(
+                        self._history, fid, ts, pose, ref_kf,
+                        self._map.kf_pose[ref_kf])
+                    self._pose_prev = pose
+                    self._pose_prev2 = pose  # zero-velocity restart
+                    return TrackingResult(fid, ts, TrackingState.TRACKING,
+                                          np.asarray(pose))
         return TrackingResult(fid, ts, TrackingState.RELOCALIZING)
 
     def _reset_map(self):
@@ -346,15 +413,19 @@ class MageSlamTPU:
                                           self._history.anchor_kf)
             self._history = ph.reanchor(self._history, self._map.kf_pose,
                                         self._map.kf_valid, dead, targets)
+            self._bow = bdb.remove_keyframes(self._bow, dead)
             self._map = cres.map
 
-        # 1. insert keyframe with tracked associations
+        # 1. insert keyframe with tracked associations (+ BoW AddImage)
         self._map, slot = ms.insert_keyframe(self._map, pose, feats, assoc,
                                              fid)
         slot = int(slot)
         self._last_kf = slot
         self._frames_since_kf = 0
         self._kf_frame_ids.append(fid)
+        if self._bow_trained:
+            self._bow = bdb.add_keyframe(self._bow, slot, feats.desc,
+                                         feats.valid)
 
         # 2. recent-map-point culling
         self._map, _ = culling.cull_recent_map_points(
@@ -410,4 +481,33 @@ class MageSlamTPU:
                                           self._history.anchor_kf)
             self._history = ph.reanchor(self._history, self._map.kf_pose,
                                         self._map.kf_valid, dead, targets)
+            self._bow = bdb.remove_keyframes(self._bow, dead)
         self._map = cres.map
+
+        # 6. loop closure per keyframe (LoopClosureWorker::AttemptLoopClosure
+        # scheduled after each mapping pass, Runtime.cpp:527-529)
+        if (s.loop_closure.enable_loop_closure and self._bow_trained
+                and self.num_keyframes >= s.loop_closure.min_keyframe):
+            self._attempt_loop_closure(slot)
+
+    def _attempt_loop_closure(self, slot: int):
+        s = self.settings
+        px = 1.0 / float(self.cal.fx)
+        self._key, sub = jax.random.split(self._key)
+        det = loop_closure.detect_loop(
+            sub, self._map, self._bow, slot,
+            s.loop_closure, s.relocalization, float(self.cal.fx))
+        if not bool(det.found):
+            return
+        # CloseLoop: similarity correction + merge + global polish
+        self._map = loop_closure.apply_similarity_correction(
+            self._map, slot, det)
+        self._map = loop_closure.merge_loop_points(
+            self._map, slot, det, self.cal, s.loop_closure)
+        lc_ba = s.loop_closure.bundle_adjust
+        self._map, _ = global_ba.global_bundle_adjust(
+            self._map,
+            jnp.float32(lc_ba.huber_width * px),
+            jnp.float32(lc_ba.max_outlier_error * px),
+            num_steps=max(int(lc_ba.num_steps), 5), lam0=self._lam)
+        self._loops_closed += 1

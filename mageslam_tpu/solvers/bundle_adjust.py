@@ -124,7 +124,7 @@ def _tether_residual(pose_i, pose_j, ttype, target_pose, target_dist):
     return jnp.where(ttype == TETHER_NONE, jnp.zeros(6), r)
 
 
-def _error(problem, kf_poses, points, huber_delta):
+def _error(problem, kf_poses, points, huber_delta, axis_name=None):
     r, good = _residuals(problem, kf_poses, points)
     err = jnp.sum(r * r, -1)
     # robustified error (Huber rho), like g2o's active chi2
@@ -140,6 +140,10 @@ def _error(problem, kf_poses, points, huber_delta):
     e_t = jnp.sum(jax.vmap(one_tether)(
         problem.tether_i, problem.tether_j, problem.tether_type,
         problem.tether_pose, problem.tether_dist, problem.tether_weight))
+    if axis_name is not None:
+        # landmarks are sharded; tethers are replicated — count them once
+        e_t = e_t / jax.lax.psum(1, axis_name)
+        return jax.lax.psum(e + e_t, axis_name), good
     return e + e_t, good
 
 
@@ -158,7 +162,7 @@ def _inv3x3(V):
 
 
 def _build_normal_eq(problem: BAProblem, kf_poses, points, huber_delta,
-                     lam):
+                     lam, axis_name=None):
     """One linearization: returns (S, b, V_inv, W, g_p, obs_w) where
     S (K+1, K+1, 6, 6) is the damped Schur-complement camera system,
     b (K+1, 6) its rhs (scratch row K holds invalid contributions)."""
@@ -222,6 +226,13 @@ def _build_normal_eq(problem: BAProblem, kf_poses, points, huber_delta,
     Ji, Jj, rt = jax.vmap(tether_blocks)(
         problem.tether_i, problem.tether_j, problem.tether_type,
         problem.tether_pose, problem.tether_dist, problem.tether_weight)
+    if axis_name is not None:
+        # replicated tether blocks will be psummed with the sharded landmark
+        # contributions; pre-scale so they count once
+        nshards = jnp.sqrt(jnp.float32(jax.lax.psum(1, axis_name)))
+        Ji = Ji / nshards
+        Jj = Jj / nshards
+        rt = rt / nshards
     ti = jnp.where(problem.tether_type > 0, problem.tether_i, K)
     tj = jnp.where(problem.tether_type > 0, problem.tether_j, K)
 
@@ -262,6 +273,13 @@ def _build_normal_eq(problem: BAProblem, kf_poses, points, huber_delta,
          W_p.reshape(n_chunks, CH, M, 6, 3),
          gp_p.reshape(n_chunks, CH, 3)))
 
+    if axis_name is not None:
+        # collective Schur reduction: sum partial camera systems over the
+        # landmark shards (SURVEY.md §2.2 distributed-BA design — this is
+        # the psum riding ICI)
+        S = jax.lax.psum(S, axis_name)
+        b = jax.lax.psum(b, axis_name)
+
     return S, b, V_inv, W, g_p, kf_safe
 
 
@@ -286,22 +304,28 @@ def _solve_schur(S, b, kf_fixed, lam):
     return dx.reshape(K, 6) * free[:, None]
 
 
-@functools.partial(jax.jit, static_argnames=("num_steps",))
-def bundle_adjust(problem: BAProblem,
-                  huber_delta: jnp.ndarray,
-                  max_outlier_error: jnp.ndarray,
-                  num_steps: int = 5,
-                  lam0: jnp.ndarray | float = 1e-4) -> BAResult:
+def bundle_adjust_impl(problem: BAProblem,
+                       huber_delta: jnp.ndarray,
+                       max_outlier_error: jnp.ndarray,
+                       num_steps: int = 5,
+                       lam0: jnp.ndarray | float = 1e-4,
+                       axis_name: str | None = None) -> BAResult:
     """Run num_steps LM iterations (analog of BundlerLib
     StepBundleAdjustment, BundlerLib.h:55 — returns mean square error and
-    outlier observations; lambda in/out for persistence)."""
+    outlier observations; lambda in/out for persistence).
+
+    With axis_name set, the call runs inside shard_map with landmarks
+    (L dimension) sharded over that mesh axis: partial camera systems are
+    psum-reduced, the dense camera solve is computed identically on every
+    shard, and landmark back-substitution stays local.
+    """
     lam0 = jnp.asarray(lam0, jnp.float32)
 
     def lm_step(carry, _):
         poses, points, lam, _prev_err = carry
-        err0, _ = _error(problem, poses, points, huber_delta)
+        err0, _ = _error(problem, poses, points, huber_delta, axis_name)
         S, b, V_inv, W, g_p, kf_safe = _build_normal_eq(
-            problem, poses, points, huber_delta, lam)
+            problem, poses, points, huber_delta, lam, axis_name)
         dc = _solve_schur(S, b, problem.kf_fixed, lam)
         # back-substitute landmarks: dp = V^-1 (g_p - sum_m W^T dc_k)
         dc_pad = jnp.concatenate([dc, jnp.zeros((1, 6))], 0)
@@ -311,7 +335,8 @@ def bundle_adjust(problem: BAProblem,
 
         new_poses = jax.vmap(se3.pose_retract)(poses, dc)
         new_points = points + dp
-        err1, _ = _error(problem, new_poses, new_points, huber_delta)
+        err1, _ = _error(problem, new_poses, new_points, huber_delta,
+                         axis_name)
         accept = err1 < err0
         poses = jnp.where(accept, new_poses, poses)
         points = jnp.where(accept, new_points, points)
@@ -328,5 +353,14 @@ def bundle_adjust(problem: BAProblem,
     outliers = good & (err > max_outlier_error ** 2)
     inl = good & ~outliers
     n_inl = jnp.sum(inl)
-    mse = jnp.sum(jnp.where(inl, err, 0.0)) / jnp.maximum(n_inl, 1)
+    sum_err = jnp.sum(jnp.where(inl, err, 0.0))
+    if axis_name is not None:
+        n_inl = jax.lax.psum(n_inl, axis_name)
+        sum_err = jax.lax.psum(sum_err, axis_name)
+    mse = sum_err / jnp.maximum(n_inl, 1)
     return BAResult(poses, points, mse, lam, outliers, n_inl)
+
+
+bundle_adjust = jax.jit(
+    functools.partial(bundle_adjust_impl, axis_name=None),
+    static_argnames=("num_steps",))
