@@ -33,7 +33,8 @@ def main():
     from mageslam_tpu.io.synthetic import (SyntheticWorld,
                                            default_calibration,
                                            orbit_trajectory)
-    from mageslam_tpu.runtime.slam import MageSlamTPU, TrackingState
+    from mageslam_tpu.runtime.fused import MageSlamTPUFused
+    from mageslam_tpu.runtime.slam import TrackingState
     from test_slam_e2e import fast_settings
 
     n_frames = 100
@@ -55,20 +56,22 @@ def main():
                 for i, p in enumerate(poses)]
         np.savez_compressed(cache, imgs=np.stack(imgs), poses=poses)
 
-    engine = MageSlamTPU(fast_settings(), cal, seed=1)
+    engine = MageSlamTPUFused(fast_settings(), cal, seed=1)
 
-    n_tracked = 0
     t0 = None
     timed = 0
     for i, img in enumerate(imgs):
         if i == warmup_frames:
+            engine.flush()
             t0 = time.perf_counter()
-        r = engine.process_frame(img, timestamp=i / 30.0)
+        engine.process_frame(img, timestamp=i / 30.0)
         if i >= warmup_frames:
             timed += 1
-            if r.state == TrackingState.TRACKING:
-                n_tracked += 1
+    results = engine.flush()
     elapsed = time.perf_counter() - t0
+    n_tracked = sum(
+        1 for i in range(warmup_frames, n_frames)
+        if results[i].state == TrackingState.TRACKING)
 
     fps = timed / elapsed
     print(json.dumps({
