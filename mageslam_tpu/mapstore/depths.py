@@ -16,7 +16,10 @@ from mageslam_tpu.geometry import se3
 from mageslam_tpu.geometry.camera import CameraCalibration, project
 
 
-@jax.jit
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
 def bounding_plane_depths(pose7: jnp.ndarray, points: jnp.ndarray,
                           point_mask: jnp.ndarray,
                           cal: CameraCalibration,

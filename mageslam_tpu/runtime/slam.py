@@ -130,7 +130,26 @@ class MageSlamTPU:
         else:
             result = self._track(fid, ts, feats)
         self._results[fid] = result
+        self._drive_fuser(ts, result)
         return result
+
+    def _drive_fuser(self, ts, result):
+        """Image-fence drain + fuser mode machine (FuserWorker.cpp:44-142
+        glue; active only once sensor samples were added)."""
+        if not hasattr(self, "_sensor_queue") or \
+                not self.settings.fuser.use_fuser:
+            return
+        samples = self._sensor_queue.drain_until(ts)
+        accel, gyro = self._sensor_queue.split_by_type(samples)
+        if result.state == TrackingState.TRACKING:
+            self._fuser.on_mage_initialized()
+            self._fuser.on_visual_reacquired()
+            self._fuser.process_fence(accel, gyro, result.pose)
+        elif result.state == TrackingState.RELOCALIZING:
+            self._fuser.on_visual_lost()
+            self._fuser.process_fence(accel, gyro, None)
+        else:
+            self._fuser.process_fence(accel, gyro, None)
 
     def fossilize(self):
         """Stop, final global BA, immutable trajectory
@@ -169,6 +188,116 @@ class MageSlamTPU:
                                         TrackingState.SKIPPED))
                 out.append(r)
         return out
+
+    # ------------------------------------------------------------------
+    # sensor / stereo / VOI API parity (MageSlam.h:156-182)
+    # ------------------------------------------------------------------
+
+    def add_sensor_sample(self, sample) -> bool:
+        """MAGESlam::AddSensorSample (MageSlam.h:164)."""
+        if not hasattr(self, "_sensor_queue"):
+            from mageslam_tpu.fuser.samples import SensorSampleQueue
+            from mageslam_tpu.fuser.imu import Fuser
+            self._sensor_queue = SensorSampleQueue(
+                drop_mag=self.settings.fuser.drop_mag_samples)
+            self._fuser = Fuser()
+        return self._sensor_queue.add_sample(sample)
+
+    def get_gravity_direction(self):
+        """Gravity in the map frame once converged (MageSlam.h:168)."""
+        if hasattr(self, "_fuser") and self._fuser.has_gravity:
+            g = self._fuser.gravity_w
+            return g / max(np.linalg.norm(g), 1e-9)
+        return None
+
+    def get_scale(self):
+        """Metric scale estimate once converged (MageSlam.h:172)."""
+        if hasattr(self, "_fuser"):
+            return self._fuser.scale
+        return None
+
+    def process_stereo_frames(self, img1, img2, extrinsics,
+                              timestamp: Optional[float] = None):
+        """MAGESlam::ProcessStereoFrames (MageSlam.h:156): bootstrap the map
+        METRICALLY from one calibrated pair (StereoInitializationWorker),
+        then track on the primary camera.  extrinsics: (7,) pose taking
+        camera-1 coords to camera-2 coords."""
+        from mageslam_tpu.tracking import stereo
+        fid = self._frame_id
+        ts = timestamp if timestamp is not None else fid / 30.0
+        if self._initialized:
+            return self.process_frame(img1, timestamp)
+        self._frame_id += 1
+        g1 = pyramid.to_gray_f32(img1)
+        g2 = pyramid.to_gray_f32(img2)
+        f1 = extract_for_settings(g1, self.cal, self.settings.mono.camera,
+                                  self.settings.capacity.max_features)
+        f2 = extract_for_settings(g2, self.cal, self.settings.mono.camera,
+                                  self.settings.capacity.max_features)
+        self._feed_bow_training(f1)
+        res = stereo.stereo_initialize(
+            f1, f2, jnp.asarray(extrinsics),
+            self.settings.stereo.map_init, float(self.cal.fx))
+        if not bool(res.success):
+            r = TrackingResult(fid, ts, TrackingState.INITIALIZING)
+            self._results[fid] = r
+            return r
+        # seed: keyframe 0 = camera 1 at identity, keyframe 1 = camera 2 at
+        # the extrinsics, EXTRINSIC-tethered metric map
+        F = f1.valid.shape[0]
+        normal = res.points / jnp.maximum(
+            jnp.linalg.norm(res.points, axis=-1, keepdims=True), 1e-9)
+        self._map, mp_ids = ms.allocate_map_points(
+            self._map, res.points, f1.desc, normal, 0, res.point_valid)
+        created = mp_ids >= 0
+        assoc1 = jnp.where(created, mp_ids, -1)
+        self._map, s0 = ms.insert_keyframe(
+            self._map, se3.pose_identity(), f1, assoc1, fid, immortal=True)
+        feat2 = jnp.clip(res.match_idx, 0)
+        assoc2 = jnp.full(F + 1, -1, jnp.int32).at[
+            jnp.where(created & (res.match_idx >= 0), feat2, F)
+        ].set(jnp.where(created, mp_ids, -1))[:F]
+        self._map, s1 = ms.insert_keyframe(
+            self._map, jnp.asarray(extrinsics), f2, assoc2, fid,
+            immortal=True)
+        self._history = ph.add_pose(self._history, fid, ts,
+                                    se3.pose_identity(), s0,
+                                    se3.pose_identity())
+        self._initialized = True
+        self._pose_prev = se3.pose_identity()
+        self._pose_prev2 = se3.pose_identity()
+        self._last_kf = int(s0)
+        self._frames_since_kf = 0
+        self._kf_frame_ids = [fid]
+        r = TrackingResult(fid, ts, TrackingState.TRACKING,
+                           np.asarray(se3.pose_identity()))
+        self._results[fid] = r
+        return r
+
+    def try_get_volume_of_interest(self):
+        """MAGESlam::TryGetVolumeOfInterest (MageSlam.h:178)."""
+        from mageslam_tpu.mapstore.depths import bounding_plane_depths
+        from mageslam_tpu.mapstore.volume_of_interest import \
+            compute_volume_of_interest
+        kf_ok = np.asarray(self._map.kf_valid)
+        idx = np.nonzero(kf_ok)[0]
+        if len(idx) < 2:
+            return None
+        poses, nears, fars, valid = [], [], [], []
+        mem = ms.member_matrix(self._map)
+        for k in idx:
+            near, far, ok = bounding_plane_depths(
+                self._map.kf_pose[int(k)], self._map.mp_pos,
+                mem[int(k)], self.cal, self.settings.bounding_depth)
+            poses.append(np.asarray(self._map.kf_pose[int(k)]))
+            nears.append(float(near))
+            fars.append(float(far))
+            valid.append(bool(ok))
+        voi = compute_volume_of_interest(
+            np.asarray(poses), np.asarray(nears, np.float32),
+            np.asarray(fars, np.float32), np.asarray(valid),
+            self.settings.volume_of_interest)
+        return voi if voi.valid else None
 
     @property
     def map_state(self) -> ms.MapState:
