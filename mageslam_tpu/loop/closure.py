@@ -145,6 +145,69 @@ def apply_similarity_correction(m: ms.MapState, kf_slot,
     return m._replace(kf_pose=kf_pose, mp_pos=mp_pos)
 
 
+@functools.partial(jax.jit, static_argnames=("num_steps", "min_covis"))
+def pose_graph_loop_correction(m: ms.MapState, kf_slot, det: LoopDetection,
+                               num_steps: int = 15,
+                               min_covis: int = 30) -> ms.MapState:
+    """Essential-graph Sim3 relaxation after the rigid similarity move.
+
+    The reference corrects only the covisible set and then global-BAs
+    (LoopClosureWorker.cpp:164-210); its PoseGraphOptimizer ships unused.
+    Here the correction is *propagated* through the whole trajectory: fix
+    the old-loop cluster and the moved covisible set, keep essential-graph
+    edge measurements at their pre-correction relative poses (the odometry
+    constraints), and relax every other keyframe in Sim(3)
+    (spanning-tree + strong-covisibility edges, mapstore/spanning_tree.py).
+    Map points follow their anchor keyframe's correction
+    (X' = S_new^-1 ∘ S_old applied in world frame).
+    """
+    from mageslam_tpu.mapstore import spanning_tree as stree
+    from mageslam_tpu.solvers import pose_graph as pg
+
+    K, F, L = ms.capacities(m)
+    states0 = jax.vmap(lambda p: sim3.sim3_from_se3(p, 1.0))(m.kf_pose)
+
+    eg = stree.essential_graph_edges(m, min_covis=min_covis,
+                                     max_covis_edges=4 * K)
+    rel = jax.vmap(lambda i, j: sim3.sim3_compose(
+        states0[i], sim3.sim3_inverse(states0[j])))(eg.edge_i, eg.edge_j)
+
+    m_corr = apply_similarity_correction(m, kf_slot, det)
+    states_init = jax.vmap(lambda p: sim3.sim3_from_se3(p, 1.0))(
+        m_corr.kf_pose)
+
+    cov = ms.covisibility(m)
+    covisible = ((cov[kf_slot] > 0) | (jnp.arange(K) == kf_slot)) \
+        & m.kf_valid
+    fixed = covisible | (det.cluster_mask & m.kf_valid) | ~m.kf_valid
+
+    problem = pg.PoseGraphProblem(
+        states=states_init, fixed=fixed,
+        edge_i=eg.edge_i, edge_j=eg.edge_j, edge_rel=rel,
+        edge_weight=jnp.where(det.found, eg.edge_weight, 0.0))
+    res = pg.optimize_pose_graph(problem, num_steps=num_steps)
+
+    def to_se3(s):
+        return se3.make_pose(sim3.sim3_q(s), sim3.sim3_t(s) / sim3.sim3_s(s))
+
+    new_poses = jax.vmap(to_se3)(res.states)
+    kf_pose = jnp.where(m.kf_valid[:, None], new_poses, m_corr.kf_pose)
+
+    # move each point by its anchor keyframe's correction delta (world
+    # frame): X' = (S_new^-1 ∘ S_old)(X); fixed anchors give the identity
+    anchor = jnp.clip(m.mp_anchor_kf, 0, K - 1)
+    deltas = jax.vmap(lambda new, old: sim3.sim3_compose(
+        sim3.sim3_inverse(new), old))(res.states, states_init)
+    moved = jax.vmap(sim3.sim3_apply)(deltas[anchor],
+                                      m_corr.mp_pos[:, None, :])[:, 0, :]
+    move_ok = (m.mp_valid & ~fixed[anchor])[:, None]
+    mp_pos = jnp.where(move_ok, moved, m_corr.mp_pos)
+    corrected = m_corr._replace(kf_pose=kf_pose, mp_pos=mp_pos)
+    # no detected loop -> the whole correction is a no-op
+    return jax.tree.map(lambda a, b: jnp.where(det.found, a, b),
+                        corrected, m)
+
+
 @functools.partial(jax.jit, static_argnames=("settings",))
 def merge_loop_points(m: ms.MapState, kf_slot, det: LoopDetection,
                       cal: CameraCalibration,

@@ -156,3 +156,46 @@ class TestLoopClosure:
         # covisible set (excluded) -> no loop
         det = closure.detect_loop(jax.random.key(2), m, db, 4, lc, rs, FX)
         assert not bool(det.found)
+
+
+class TestPoseGraphLoopCorrection:
+    def test_propagates_and_matches_similarity_on_covisible(self, rng):
+        m, db, poses_true, drifted_poses, pts, ids_a, ids_c = \
+            build_loop_scenario(rng)
+        lc = LoopClosureSettings(min_cluster_size=2, min_feature_matches=15)
+        rs = RelocalizationSettings()
+        det = closure.detect_loop(jax.random.key(1), m, db, 8, lc, rs, FX)
+        assert bool(det.found)
+        m_sim = closure.apply_similarity_correction(m, 8, det)
+        m_pg = closure.pose_graph_loop_correction(m, 8, det, num_steps=10)
+        # covisible (fixed) keyframes: identical to the similarity move
+        for k in (6, 7, 8):
+            np.testing.assert_allclose(np.asarray(m_pg.kf_pose[k]),
+                                       np.asarray(m_sim.kf_pose[k]),
+                                       atol=1e-4)
+        # old cluster fixed too
+        for k in (0, 1, 2):
+            np.testing.assert_allclose(np.asarray(m_pg.kf_pose[k]),
+                                       np.asarray(m.kf_pose[k]), atol=1e-4)
+        # the revisit keyframe still reprojects the original points
+        xn_expect, _ = pnp.project_normalized(m_pg.kf_pose[8],
+                                              jnp.asarray(pts))
+        err = np.asarray(jnp.linalg.norm(
+            xn_expect - m_pg.kf_xn[8][:80], axis=-1)) * FX
+        assert np.median(err) < 6.0
+        # free keyframes (3-5) moved to satisfy essential-graph constraints
+        # and remain finite
+        assert np.isfinite(np.asarray(m_pg.kf_pose)).all()
+        assert np.isfinite(np.asarray(m_pg.mp_pos)).all()
+
+    def test_not_found_is_identity(self, rng):
+        m, db, *_ = build_loop_scenario(rng)
+        lc = LoopClosureSettings(min_cluster_size=2, min_feature_matches=15)
+        rs = RelocalizationSettings()
+        det = closure.detect_loop(jax.random.key(2), m, db, 4, lc, rs, FX)
+        assert not bool(det.found)
+        m2 = closure.pose_graph_loop_correction(m, 4, det, num_steps=5)
+        np.testing.assert_allclose(np.asarray(m2.kf_pose),
+                                   np.asarray(m.kf_pose), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m2.mp_pos),
+                                   np.asarray(m.mp_pos), atol=1e-5)
