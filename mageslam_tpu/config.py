@@ -230,6 +230,12 @@ class LoopClosureSettings:  # MageSettings.h LoopClosureSettings
         num_steps=25)  # console.cpp:116-120 loop-closure BA budget
     cheap_loop_closure_matching: OrbMatcherSettings = OrbMatcherSettings()
     map_merge_matching: OrbMatcherSettings = OrbMatcherSettings()
+    # essential-graph Sim3 relaxation before the global BA (the reference
+    # ships PoseGraphOptimizer unused; here it propagates the correction
+    # through the whole trajectory, loop/closure.py)
+    use_pose_graph: bool = False
+    pose_graph_steps: int = 15
+    pose_graph_min_covis: int = 30
 
 
 @dataclass(frozen=True)

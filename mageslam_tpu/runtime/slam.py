@@ -42,6 +42,9 @@ from mageslam_tpu.mapstore import pose_history as ph
 from mageslam_tpu.ops import pyramid
 from mageslam_tpu.tracking import initialization, relocalization, track
 from mageslam_tpu.tracking.frontend import extract_for_settings
+from mageslam_tpu.utils.mediator import (AnalysisCompleted, HistoryUpdated,
+                                          InitCompleted, Mediator,
+                                          PoseRefined, TrackingLost)
 from mageslam_tpu.tracking.keyframe_decision import (KeyframeDecisionInputs,
                                                      should_add_keyframe)
 
@@ -74,9 +77,14 @@ class MageSlamTPU:
 
     def __init__(self, settings: MageSlamSettings,
                  calibration: CameraCalibration,
-                 seed: int = 0):
+                 seed: int = 0, pose_prior_provider=None):
         self.settings = settings
         self.cal = calibration
+        # typed event bus (TrackingEvents.h / mediator.h analog)
+        self.mediator = Mediator()
+        # optional IPosePriorProvider (tracking/pose_priors.py); None ->
+        # built-in constant-velocity model
+        self._prior_provider = pose_prior_provider
         cap = settings.capacity
         self._map = ms.empty_map(cap.max_keyframes, cap.max_features,
                                  cap.max_map_points)
@@ -124,6 +132,7 @@ class MageSlamTPU:
             gray, self.cal, self.settings.mono.camera,
             self.settings.capacity.max_features)
         self._feed_bow_training(feats)
+        self.mediator.send(AnalysisCompleted(fid, int(feats.count)))
 
         if not self._initialized:
             result = self._try_initialize(fid, ts, feats)
@@ -379,6 +388,9 @@ class MageSlamTPU:
         self._last_kf = int(s1)
         self._frames_since_kf = 0
         self._kf_frame_ids = [fid0, fid1]
+        if self._prior_provider is not None:
+            self._prior_provider.on_tracking_pose(ts1, res.pose1)
+        self.mediator.send(InitCompleted(fid1, 2, self.num_map_points))
 
     # ------------------------------------------------------------------
     # steady-state tracking (Runtime.cpp:165-232 TrackFrame)
@@ -392,13 +404,18 @@ class MageSlamTPU:
 
     def _track(self, fid, ts, feats) -> TrackingResult:
         s = self.settings
-        prior = self._motion_prior()
+        prior = None
+        if self._prior_provider is not None:
+            prior = self._prior_provider.get_pose_for_time(ts)
+        if prior is None:
+            prior = self._motion_prior()
         tres = track.track_frame(self._map, feats, prior, self._last_kf,
                                  self.cal, s)
         if not bool(tres.success):
             self._lost_count += 1
             if self._lost_count >= s.track_local_map \
                     .tracking_lost_count_until_reloc:
+                self.mediator.send(TrackingLost(fid, self._lost_count))
                 return self._relocalize(fid, ts, feats)
             return TrackingResult(fid, ts, TrackingState.SKIPPED)
 
@@ -438,6 +455,11 @@ class MageSlamTPU:
 
         self._pose_prev2 = self._pose_prev
         self._pose_prev = pose
+        if self._prior_provider is not None:
+            self._prior_provider.on_tracking_pose(ts, pose)
+        self.mediator.send(PoseRefined(fid, np.asarray(pose),
+                                       is_keyframe=bool(decision),
+                                       num_inliers=int(tres.num_inliers)))
         return TrackingResult(fid, ts, TrackingState.TRACKING,
                               np.asarray(pose))
 
@@ -598,6 +620,7 @@ class MageSlamTPU:
         self._map = local_ba.apply_window_result(self._map, win, res)
         if s.track_local_map.unassociate_outliers:
             self._map = local_ba.unassociate_outliers(self._map, win, res)
+        self.mediator.send(HistoryUpdated("local_ba"))
 
         # 5. keyframe culling + history re-anchoring
         cres = culling.cull_keyframes(
@@ -628,9 +651,16 @@ class MageSlamTPU:
             s.loop_closure, s.relocalization, float(self.cal.fx))
         if not bool(det.found):
             return
-        # CloseLoop: similarity correction + merge + global polish
-        self._map = loop_closure.apply_similarity_correction(
-            self._map, slot, det)
+        # CloseLoop: similarity correction (optionally propagated through
+        # the essential graph) + merge + global polish
+        if s.loop_closure.use_pose_graph:
+            self._map = loop_closure.pose_graph_loop_correction(
+                self._map, slot, det,
+                num_steps=int(s.loop_closure.pose_graph_steps),
+                min_covis=int(s.loop_closure.pose_graph_min_covis))
+        else:
+            self._map = loop_closure.apply_similarity_correction(
+                self._map, slot, det)
         self._map = loop_closure.merge_loop_points(
             self._map, slot, det, self.cal, s.loop_closure)
         lc_ba = s.loop_closure.bundle_adjust
@@ -640,3 +670,4 @@ class MageSlamTPU:
             jnp.float32(lc_ba.max_outlier_error * px),
             num_steps=max(int(lc_ba.num_steps), 5), lam0=self._lam)
         self._loops_closed += 1
+        self.mediator.send(HistoryUpdated("loop_closure"))
