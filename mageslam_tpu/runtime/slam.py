@@ -578,6 +578,15 @@ class MageSlamTPU:
             self._bow = bdb.add_keyframe(self._bow, slot, feats.desc,
                                          feats.valid)
 
+        # 1.5 cheap loop closure: re-associate distant map points into the
+        # new keyframe (MappingWorker.cpp:30-75,160-165)
+        if s.mapping.use_cheap_loop_closure:
+            from mageslam_tpu.mapping.cheap_loop_closure import \
+                cheap_loop_closure
+            clr = cheap_loop_closure(self._map, slot, self.cal,
+                                     s.loop_closure)
+            self._map = clr.map
+
         # 2. recent-map-point culling
         self._map, _ = culling.cull_recent_map_points(
             self._map,

@@ -203,12 +203,17 @@ def _build_normal_eq(problem: BAProblem, kf_poses, points, huber_delta,
     W = jnp.einsum("lmab,lmac->lmbc", A, B)             # (L, M, 6, 3)
     Y = jnp.einsum("lmbc,lcd->lmbd", W, V_inv)          # (L, M, 6, 3)
 
-    # camera blocks (scatter into K+1 with scratch row for invalid)
+    # camera blocks: route each observation slot to its keyframe with a
+    # one-hot matrix so ALL assembly is einsum (MXU) instead of scatter-add
+    # (TPU scatters serialize; this was the local-BA hot spot).  HIGHEST
+    # precision keeps f32 accumulation exact for the normal equations.
+    HI = jax.lax.Precision.HIGHEST
     kf_safe = jnp.where(good, problem.obs_kf, K)
-    U = jnp.zeros((K + 1, 6, 6)).at[kf_safe].add(
-        jnp.einsum("lmab,lmac->lmbc", A, A))
-    g_c = jnp.zeros((K + 1, 6)).at[kf_safe].add(
-        -jnp.einsum("lmab,lma->lmb", A, rw))
+    O = jax.nn.one_hot(kf_safe, K + 1, dtype=A.dtype)   # (L, M, K+1)
+    AA = jnp.einsum("lmab,lmac->lmbc", A, A)
+    U = jnp.einsum("lmk,lmbc->kbc", O, AA, precision=HI)
+    Ar = jnp.einsum("lmab,lma->lmb", A, rw)
+    g_c = -jnp.einsum("lmk,lmb->kb", O, Ar, precision=HI)
 
     # tether contributions via autodiff (few, 6-dim residuals)
     def tether_blocks(i, j, tt, tp, td, tw):
@@ -246,32 +251,14 @@ def _build_normal_eq(problem: BAProblem, kf_poses, points, huber_delta,
     b = g_c.at[ti].add(-jnp.einsum("tab,ta->tb", Ji, rt))
     b = b.at[tj].add(-jnp.einsum("tab,ta->tb", Jj, rt))
 
-    # chunked point reduction to bound memory: (chunk, M, M, 6, 6)
-    CH = max(1, min(L, 8192 // max(M * M, 1)))
-    n_chunks = -(-L // CH)
-    pad = n_chunks * CH - L
-    kf_p = jnp.pad(kf_safe, ((0, pad), (0, 0)), constant_values=K)
-    Y_p = jnp.pad(Y, ((0, pad), (0, 0), (0, 0), (0, 0)))
-    W_p = jnp.pad(W, ((0, pad), (0, 0), (0, 0), (0, 0)))
-    gp_p = jnp.pad(g_p, ((0, pad), (0, 0)))
-
-    def chunk_body(carry, inp):
-        S_acc, b_acc = carry
-        kf_c, Y_c, W_c, gp_c = inp
-        contrib = jnp.einsum("liab,ljcb->lijac", Y_c, W_c)  # (CH,M,M,6,6)
-        ki = jnp.broadcast_to(kf_c[:, :, None], contrib.shape[:3])
-        kj = jnp.broadcast_to(kf_c[:, None, :], contrib.shape[:3])
-        S_acc = S_acc.at[ki, kj].add(-contrib)
-        b_acc = b_acc.at[kf_c].add(
-            -jnp.einsum("liab,lb->lia", Y_c, gp_c))
-        return (S_acc, b_acc), None
-
-    (S, b), _ = jax.lax.scan(
-        chunk_body, (S, b),
-        (kf_p.reshape(n_chunks, CH, M),
-         Y_p.reshape(n_chunks, CH, M, 6, 3),
-         W_p.reshape(n_chunks, CH, M, 6, 3),
-         gp_p.reshape(n_chunks, CH, 3)))
+    # camera-camera coupling S -= sum_l Y_l W_l^T, routed through the same
+    # one-hot: per-landmark keyframe-major blocks then one big contraction
+    # over (landmark, point-dim) — pure MXU, no (L, M, M, 6, 6) intermediate
+    # and no scatter
+    Yk = jnp.einsum("lmk,lmab->lkab", O, Y, precision=HI)  # (L, K+1, 6, 3)
+    Wk = jnp.einsum("lmk,lmab->lkab", O, W, precision=HI)
+    S = S - jnp.einsum("lkab,lqcb->kqac", Yk, Wk, precision=HI)
+    b = b - jnp.einsum("lkab,lb->ka", Yk, g_p, precision=HI)
 
     if axis_name is not None:
         # collective Schur reduction: sum partial camera systems over the

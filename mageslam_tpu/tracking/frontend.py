@@ -91,9 +91,8 @@ def extract_features(img: jnp.ndarray, cal: CameraCalibration,
         smooth = pyramid.gaussian_blur(lv_img, gaussian_ksize)
         score = fast.detect(lv_img, fast_threshold)
         kps = select.select_gridded(score, budget, cells_x, cells_y, per_cell)
-        angles = orb.compute_orientations(smooth, kps.uv)
-        desc = orb.compute_descriptors(smooth, kps.uv, angles,
-                                       use_orientation)
+        angles, desc = orb.orient_and_describe(smooth, kps.uv,
+                                               use_orientation)
         scale = scale_factor ** lvl
         per_level_feats.append(FrameFeatures(
             uv=kps.uv * scale,

@@ -199,3 +199,43 @@ class TestPoseGraphLoopCorrection:
                                    np.asarray(m.kf_pose), atol=1e-5)
         np.testing.assert_allclose(np.asarray(m2.mp_pos),
                                    np.asarray(m.mp_pos), atol=1e-5)
+
+
+class TestCheapLoopClosure:
+    def test_reassociates_distant_points(self, rng):
+        """A keyframe revisiting the first place (SAME landmark ids exist,
+        but the new keyframe has no associations to them) gets stitched to
+        the distant structure."""
+        from mageslam_tpu.mapping.cheap_loop_closure import cheap_loop_closure
+        from mageslam_tpu.io.synthetic import default_calibration
+
+        m, db, poses_true, drifted_poses, pts, ids_a, ids_c = \
+            build_loop_scenario(rng, drift_scale=1.0, drift_t=(0, 0, 0))
+        # drop kf8's own associations so its features are unassociated and
+        # point directly at the ORIGINAL landmarks' projections (no drift)
+        m = m._replace(kf_assoc=m.kf_assoc.at[8].set(-1))
+        cal = default_calibration()
+        lc = LoopClosureSettings(match_search_radius=12.0)
+        res = cheap_loop_closure(m, 8, cal, lc, min_matches=10)
+        assert bool(res.applied)
+        assert int(res.num_connected) >= 20
+        # the new associations point at ORIGINAL (distant) landmarks
+        assoc = np.asarray(res.map.kf_assoc[8])
+        orig = set(np.asarray(ids_a).tolist())
+        hits = [a for a in assoc if a >= 0]
+        assert len(hits) >= 20
+        assert np.mean([a in orig for a in hits]) > 0.9
+
+    def test_below_threshold_is_noop(self, rng):
+        from mageslam_tpu.mapping.cheap_loop_closure import cheap_loop_closure
+        from mageslam_tpu.io.synthetic import default_calibration
+
+        m, db, *_ = build_loop_scenario(rng)
+        cal = default_calibration()
+        # keyframe 4 is in the far place: the original-place points project
+        # far outside its image, so nothing distant can match
+        lc = LoopClosureSettings(match_search_radius=6.0)
+        res = cheap_loop_closure(m, 4, cal, lc, min_matches=10)
+        assert not bool(res.applied)
+        np.testing.assert_array_equal(np.asarray(res.map.kf_assoc),
+                                      np.asarray(m.kf_assoc))
