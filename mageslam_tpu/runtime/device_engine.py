@@ -264,6 +264,13 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
         kf_sig = st.kf_sig.at[slot].set(sig)
         kf_sig_valid = st.kf_sig_valid.at[slot].set(st.bow_trained)
 
+        # cheap loop closure (MappingWorker.cpp:30-75): reconnect distant
+        # structure before culling/BA so the window sees the new edges
+        if s.mapping.use_cheap_loop_closure:
+            from mageslam_tpu.mapping.cheap_loop_closure import \
+                cheap_loop_closure
+            m = cheap_loop_closure(m, slot, cal, s.loop_closure).map
+
         # recent-point culling
         m, _ = culling.cull_recent_map_points(
             m, jnp.float32(s.track_local_map.recent_map_point_pct_success),
