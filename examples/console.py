@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--csv", type=str, default="fossil.csv")
     ap.add_argument("--tum", type=str, default="")
     ap.add_argument("--fps", type=float, default=30.0)
+    ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--host-engine", action="store_true",
                     help="use the host-orchestrated runtime instead of "
@@ -52,24 +53,34 @@ def main():
     from mageslam_tpu.runtime.slam import MageSlamTPU, TrackingState
     from test_slam_e2e import fast_settings
 
-    fx = args.fx or 0.85 * args.width
-    cal = CameraCalibration.pinhole(fx, fx, args.width / 2,
-                                    args.height / 2, args.width,
-                                    args.height)
+    # ---- calibration + frame source
+    seq = None
+    if args.dataset:
+        from mageslam_tpu.io.datasets import load_dataset
+        from mageslam_tpu.io.native_loader import FramePump
+        seq = load_dataset(args.dataset, max_frames=args.max_frames)
+        cal = seq.tracking_calibration(args.width)
+        args.height = cal.height
+        if args.fx:
+            cal = CameraCalibration.pinhole(
+                args.fx, args.fx, args.width / 2, args.height / 2,
+                args.width, args.height)
+    else:
+        fx = args.fx or 0.85 * args.width
+        cal = CameraCalibration.pinhole(fx, fx, args.width / 2,
+                                        args.height / 2, args.width,
+                                        args.height)
     settings = fast_settings()
     engine = (MageSlamTPU if args.host_engine else MageSlamTPUFused)(
         settings, cal, seed=1)
 
-    # ---- frame source
-    if args.dataset:
-        from mageslam_tpu.io.native_loader import FramePump, scan_dataset
-        paths = scan_dataset(args.dataset)
-        if not paths:
-            print(f"no images found under {args.dataset}", file=sys.stderr)
-            return 1
-        print(f"[console] {len(paths)} frames from {args.dataset}")
-        frames = FramePump(paths, args.width, args.height, capacity=8,
-                           n_threads=3)
+    if seq is not None:
+        from mageslam_tpu.io.native_loader import FramePump
+        print(f"[console] {len(seq.image_paths)} frames from "
+              f"{args.dataset} ({seq.name}); gt="
+              f"{seq.gt_view_poses is not None}")
+        frames = FramePump(seq.image_paths, args.width, args.height,
+                           capacity=8, n_threads=3)
     else:
         n = args.synthetic or 80
         from mageslam_tpu.io.synthetic import (SyntheticWorld,
@@ -85,7 +96,9 @@ def main():
     t0 = time.perf_counter()
     count = 0
     for i, img in frames:
-        engine.process_frame(img, timestamp=i / args.fps)
+        ts = (float(seq.timestamps[i] - seq.timestamps[0])
+              if seq is not None else i / args.fps)
+        engine.process_frame(img, timestamp=ts)
         count += 1
     if hasattr(engine, "flush"):
         results = engine.flush()
@@ -106,6 +119,23 @@ def main():
     if args.tum:
         fossil.export_tum(args.tum)
         print(f"[console] TUM -> {args.tum}")
+
+    # ---- accuracy vs dataset ground truth (Sim3-aligned monocular ATE)
+    if seq is not None and seq.gt_view_poses is not None:
+        import numpy as np
+        from mageslam_tpu.io.evaluation import ate_rmse
+        gt = seq.gt_for_frames()
+        fid_to_row = {int(f): k for k, f in enumerate(fossil.frame_ids)}
+        est, ref = [], []
+        for i in range(count):
+            k = fid_to_row.get(i)
+            if k is not None:
+                est.append(fossil.poses[k])
+                ref.append(gt[i])
+        if len(est) >= 3:
+            rmse, _, _ = ate_rmse(np.asarray(est), np.asarray(ref))
+            print(f"[console] ATE RMSE (Sim3-aligned, {len(est)} "
+                  f"frames): {rmse:.4f} m")
     return 0
 
 
