@@ -18,7 +18,16 @@ import jax.numpy as jnp
 
 from mageslam_tpu.config import FeatureExtractorSettings, PerCameraSettings
 from mageslam_tpu.geometry.camera import CameraCalibration, unproject
-from mageslam_tpu.ops import fast, orb, pyramid, select
+from mageslam_tpu.ops import fast, fast_pallas, orb, pyramid, select
+
+
+def _detect(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """FAST + NMS score map: fused Pallas kernel on TPU (2.3x the jnp
+    formulation, bit-exact — ops/fast_pallas.py), jnp elsewhere.
+    threshold must be a concrete float (config constant)."""
+    if jax.default_backend() == "tpu":
+        return fast_pallas.detect(img, float(threshold))
+    return fast.detect(img, threshold)
 
 
 class FrameFeatures(NamedTuple):
@@ -57,9 +66,9 @@ def empty_features(max_features: int) -> FrameFeatures:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_features", "num_levels", "scale_factor",
-                     "gaussian_ksize", "use_orientation", "cells_x",
-                     "cells_y", "per_cell"))
+    static_argnames=("fast_threshold", "max_features", "num_levels",
+                     "scale_factor", "gaussian_ksize", "use_orientation",
+                     "cells_x", "cells_y", "per_cell"))
 def extract_features(img: jnp.ndarray, cal: CameraCalibration,
                      fast_threshold: float,
                      max_features: int = 512,
@@ -89,7 +98,7 @@ def extract_features(img: jnp.ndarray, cal: CameraCalibration,
 
     for lvl, (lv_img, budget) in enumerate(zip(levels, budgets)):
         smooth = pyramid.gaussian_blur(lv_img, gaussian_ksize)
-        score = fast.detect(lv_img, fast_threshold)
+        score = _detect(lv_img, fast_threshold)
         kps = select.select_gridded(score, budget, cells_x, cells_y, per_cell)
         angles, desc = orb.orient_and_describe(smooth, kps.uv,
                                                use_orientation)
