@@ -96,9 +96,15 @@ def extract_features(img: jnp.ndarray, cal: CameraCalibration,
     # fix rounding so sum == max_features
     budgets[0] += max_features - sum(budgets)
 
+    on_tpu = jax.default_backend() == "tpu"
     for lvl, (lv_img, budget) in enumerate(zip(levels, budgets)):
-        smooth = pyramid.gaussian_blur(lv_img, gaussian_ksize)
-        score = _detect(lv_img, fast_threshold)
+        if on_tpu and gaussian_ksize <= 2 * fast_pallas.PAD + 1:
+            # fused Pallas stage: blur + FAST + NMS from one HBM read
+            score, smooth = fast_pallas.detect_and_smooth(
+                lv_img, float(fast_threshold), gaussian_ksize)
+        else:
+            smooth = pyramid.gaussian_blur(lv_img, gaussian_ksize)
+            score = _detect(lv_img, fast_threshold)
         kps = select.select_gridded(score, budget, cells_x, cells_y, per_cell)
         angles, desc = orb.orient_and_describe(smooth, kps.uv,
                                                use_orientation)
