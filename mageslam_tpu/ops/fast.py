@@ -72,7 +72,9 @@ def fast_score_map(img: jnp.ndarray, threshold: jnp.ndarray) -> jnp.ndarray:
 
 
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
-    """Keep scores that are the strict max of their 3x3 neighborhood."""
+    """Keep scores that are the max of their 3x3 neighborhood.  Ties are
+    KEPT (score >= max includes the center), so equal-score plateaus keep
+    every plateau pixel — same semantics as fast_pallas._nms3x3."""
     m = jax.lax.reduce_window(
         score, -jnp.inf, jax.lax.max, (3, 3), (1, 1),
         [(1, 1), (1, 1)])

@@ -63,7 +63,9 @@ def _fast_score(img_ref, h: int, w: int, thr: float) -> jnp.ndarray:
 
 
 def _nms3x3(score: jnp.ndarray, apron_ref, h: int, w: int) -> jnp.ndarray:
-    """3x3 strict-neighbor NMS through a 1-pixel zero apron in scratch."""
+    """3x3 NMS through a 1-pixel zero apron in scratch.  Ties are KEPT
+    (score >= neighborhood max): equal-score plateaus yield one keypoint
+    per plateau pixel, matching ops.fast.nms3x3 bit-exactly."""
     apron_ref[:, :] = jnp.zeros((h + 2, w + 2), jnp.float32)
     apron_ref[1:h + 1, 1:w + 1] = score
     m = apron_ref[0:h, 0:w]

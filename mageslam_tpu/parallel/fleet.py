@@ -52,7 +52,7 @@ class SlamFleet:
         self.mesh = mesh or default_mesh()
         self.n_streams = self.mesh.devices.size
 
-        st0, step = de.make_engine(settings, calibration)
+        st0, step, _drain = de.make_engine(settings, calibration)
 
         # per-stream state: stacked leaves, distinct RNG keys
         keys = jax.random.split(jax.random.key(seed), self.n_streams)

@@ -36,7 +36,9 @@ from mageslam_tpu.loop import closure as lc
 from mageslam_tpu.mapping import culling, global_ba, local_ba, new_points
 from mageslam_tpu.mapstore import map_state as ms
 from mageslam_tpu.mapstore import pose_history as ph
-from mageslam_tpu.solvers.bundle_adjust import bundle_adjust_impl
+from mageslam_tpu.solvers.bundle_adjust import (BAProblem,
+                                                bundle_adjust_impl,
+                                                empty_tethers)
 from mageslam_tpu.tracking import initialization, relocalization, track
 from mageslam_tpu.tracking.frontend import FrameFeatures, extract_features
 
@@ -48,6 +50,8 @@ CODE_RELOCALIZING = 3
 
 INIT_RING = 8          # buffered candidate frames for initialization
 OUT_WIDTH = 16         # packed output floats per frame
+PENDING_RING = 4       # pending-keyframe queue bound (MageSettings.h:255
+#                        MaxPendingKeyframes = 4; older entries dropped)
 
 
 class EngineState(NamedTuple):
@@ -65,6 +69,27 @@ class EngineState(NamedTuple):
     init_feats: FrameFeatures    # leading dim INIT_RING
     init_ts: jnp.ndarray         # (INIT_RING,)
     init_fid: jnp.ndarray        # (INIT_RING,) int32 (-1 empty)
+    # pending-keyframe FIFO (the tracking->mapping queue; reference
+    # MaxPendingKeyframes=4 with older entries dropped, MageSettings.h:255).
+    # One entry is drained per engine step, so mapping lags tracking by up
+    # to PENDING_RING keyframes exactly like the reference's mapping thread.
+    pend_feats: FrameFeatures    # leading dim PENDING_RING
+    pend_pose: jnp.ndarray       # (PENDING_RING, 7)
+    pend_assoc: jnp.ndarray      # (PENDING_RING, F) int32
+    pend_fid: jnp.ndarray        # (PENDING_RING,) int32 (-1 empty)
+    pend_gen: jnp.ndarray        # (PENDING_RING,) int32 map generation at
+    #                              enqueue (stale-association guard)
+    pend_count: jnp.ndarray      # int32 live entries (FIFO at index 0)
+    # interleaved local-BA state: the reference runs LM iterations between
+    # tracking reads (Runtime.cpp:601-629 BundleAdjustSchedule +
+    # MappingWorker.cpp:330-372 IterateBA with early-out when new keyframes
+    # queue up).  Here the window problem lives in engine state and each
+    # engine step advances it by num_steps_per_run iterations.
+    ba_window: local_ba.LocalBAWindow
+    ba_active: jnp.ndarray       # bool — a window is being iterated
+    ba_steps_left: jnp.ndarray   # int32
+    ba_center: jnp.ndarray       # int32 keyframe slot being mapped
+    ba_outliers: jnp.ndarray     # (LB, M) bool — last run's outlier obs
     # scheduler scalars
     initialized: jnp.ndarray     # bool
     pose_prev: jnp.ndarray       # (7,)
@@ -79,6 +104,24 @@ class EngineState(NamedTuple):
     loops_closed: jnp.ndarray
 
 
+def _empty_window(window_size: int, num_fixed: int,
+                  max_points: int) -> local_ba.LocalBAWindow:
+    M, LB = window_size + num_fixed, max_points
+    problem = BAProblem(
+        kf_poses=jnp.tile(se3.pose_identity()[None], (M, 1)),
+        kf_fixed=jnp.ones(M, bool),
+        points=jnp.zeros((LB, 3), jnp.float32),
+        point_valid=jnp.zeros(LB, bool),
+        obs_kf=jnp.broadcast_to(
+            jnp.arange(M, dtype=jnp.int32)[None], (LB, M)).copy(),
+        obs_xn=jnp.zeros((LB, M, 2), jnp.float32),
+        obs_valid=jnp.zeros((LB, M), bool),
+        **{k: jnp.asarray(v) for k, v in empty_tethers(0).items()})
+    return local_ba.LocalBAWindow(
+        problem, jnp.zeros(M, jnp.int32), jnp.zeros(M, bool),
+        jnp.zeros(M, bool), jnp.zeros(LB, jnp.int32), jnp.zeros(LB, bool))
+
+
 def empty_state(settings: MageSlamSettings, seed: int = 0) -> EngineState:
     cap = settings.capacity
     K, F, L = cap.max_keyframes, cap.max_features, cap.max_map_points
@@ -87,6 +130,7 @@ def empty_state(settings: MageSlamSettings, seed: int = 0) -> EngineState:
     ring = jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (INIT_RING,) + x.shape).copy(),
         empty_features(F))
+    win = _empty_window(cap.local_ba_keyframes, 8, cap.local_ba_points)
     return EngineState(
         map=ms.empty_map(K, F, L),
         history=ph.empty_history(cap.pose_history_size),
@@ -100,6 +144,21 @@ def empty_state(settings: MageSlamSettings, seed: int = 0) -> EngineState:
         init_feats=ring,
         init_ts=jnp.zeros(INIT_RING, jnp.float32),
         init_fid=jnp.full(INIT_RING, -1, jnp.int32),
+        pend_feats=jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None],
+                                       (PENDING_RING,) + x.shape).copy(),
+            empty_features(F)),
+        pend_pose=jnp.tile(se3.pose_identity()[None], (PENDING_RING, 1)),
+        pend_assoc=jnp.full((PENDING_RING, F), -1, jnp.int32),
+        pend_fid=jnp.full(PENDING_RING, -1, jnp.int32),
+        pend_gen=jnp.zeros(PENDING_RING, jnp.int32),
+        pend_count=jnp.int32(0),
+        ba_window=win,
+        ba_active=jnp.asarray(False),
+        ba_steps_left=jnp.int32(0),
+        ba_center=jnp.int32(0),
+        ba_outliers=jnp.zeros(
+            (cap.local_ba_points, cap.local_ba_keyframes + 8), bool),
         initialized=jnp.asarray(False),
         pose_prev=se3.pose_identity(),
         pose_prev2=se3.pose_identity(),
@@ -125,6 +184,10 @@ def _reset_slam_state(st: EngineState,
         history=ph.empty_history(cap.pose_history_size),
         kf_sig_valid=jnp.zeros_like(st.kf_sig_valid),
         init_fid=jnp.full(INIT_RING, -1, jnp.int32),
+        pend_fid=jnp.full(PENDING_RING, -1, jnp.int32),
+        pend_count=jnp.int32(0),
+        ba_active=jnp.asarray(False),
+        ba_steps_left=jnp.int32(0),
         initialized=jnp.asarray(False),
         pose_prev=se3.pose_identity(),
         pose_prev2=se3.pose_identity(),
@@ -134,7 +197,7 @@ def _reset_slam_state(st: EngineState,
     )
 
 
-def _pack_output(code, pose, n_inliers, n_kf, n_mp, loops):
+def _pack_output(code, pose, n_inliers, n_kf, n_mp, loops, is_kf, n_feats):
     out = jnp.zeros(OUT_WIDTH, jnp.float32)
     out = out.at[0].set(code.astype(jnp.float32))
     out = out.at[1:8].set(pose)
@@ -142,6 +205,8 @@ def _pack_output(code, pose, n_inliers, n_kf, n_mp, loops):
     out = out.at[9].set(n_kf.astype(jnp.float32))
     out = out.at[10].set(n_mp.astype(jnp.float32))
     out = out.at[11].set(loops.astype(jnp.float32))
+    out = out.at[12].set(is_kf.astype(jnp.float32))
+    out = out.at[13].set(n_feats.astype(jnp.float32))
     return out
 
 
@@ -255,59 +320,161 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
         return st, code, ires.pose1, jnp.int32(0)
 
     # ------------------------------------------------------------------
-    def mapping_step(st: EngineState, feats: FrameFeatures, pose, assoc,
-                     fid):
+    # Mapping pipeline: tracking enqueues keyframes into a bounded FIFO
+    # (MaxPendingKeyframes, MageSettings.h:255); each engine step advances
+    # the pipeline one unit — drain one pending keyframe (insert + new
+    # points + window build) or run num_steps_per_run LM iterations of the
+    # active local-BA window with early-out when new keyframes queue up
+    # (MappingWorker.cpp:330-372 IterateBA + Runtime.cpp:601-629
+    # BundleAdjustSchedule).  This reproduces the reference's
+    # tracking/mapping interleave inside one compiled program.
+    # ------------------------------------------------------------------
+    K_total = cap.max_keyframes
+    ba_per_run = max(int(s.bundle_adjust.num_steps_per_run), 1)
+    ba_total = max(int(s.bundle_adjust.num_steps) * 4, 4)
+    mse_floor = float(s.bundle_adjust.min_mean_square_error) * px * px
+
+    def _rebase_prior(st: EngineState, before, after) -> EngineState:
+        """Apply a mapping commit's correction of the center keyframe to
+        the motion-model poses: after = before ∘ D  =>  every pose anchored
+        in the moved region gets ∘ D.  This is the TrackLocalMapWorker
+        history re-basing (TrackLocalMapWorker.cpp:121-204) — without it
+        the constant-velocity prior extrapolates a pre-correction pose
+        against the corrected map right after BA / loop closure."""
+        D = se3.pose_compose(se3.pose_inverse(before), after)
+        return st._replace(
+            pose_prev=se3.pose_compose(st.pose_prev, D),
+            pose_prev2=se3.pose_compose(st.pose_prev2, D))
+
+    def enqueue_keyframe(st: EngineState, feats: FrameFeatures, pose,
+                         assoc, fid) -> EngineState:
+        def drop_oldest(st):
+            return st._replace(
+                pend_feats=jax.tree.map(lambda r: jnp.roll(r, -1, 0),
+                                        st.pend_feats),
+                pend_pose=jnp.roll(st.pend_pose, -1, 0),
+                pend_assoc=jnp.roll(st.pend_assoc, -1, 0),
+                pend_fid=jnp.roll(st.pend_fid, -1, 0),
+                pend_gen=jnp.roll(st.pend_gen, -1, 0),
+                pend_count=st.pend_count - 1)
+
+        st = jax.lax.cond(st.pend_count >= PENDING_RING, drop_oldest,
+                          lambda s: s, st)
+        slot = st.pend_count
+        return st._replace(
+            pend_feats=jax.tree.map(lambda r, f: r.at[slot].set(f),
+                                    st.pend_feats, feats),
+            pend_pose=st.pend_pose.at[slot].set(pose),
+            pend_assoc=st.pend_assoc.at[slot].set(assoc),
+            pend_fid=st.pend_fid.at[slot].set(fid),
+            pend_gen=st.pend_gen.at[slot].set(st.map.num_kf_ever),
+            pend_count=st.pend_count + 1,
+            frames_since_kf=jnp.int32(0))
+
+    def drain_pending(st: EngineState) -> EngineState:
+        """Pop the oldest pending keyframe: insert + cheap loop closure +
+        recent-point culling + new map points + BA window build
+        (MappingWorker.cpp:147-286 up to the IterateBA loop)."""
+        feats = jax.tree.map(lambda r: r[0], st.pend_feats)
+        pose = st.pend_pose[0]
+        assoc = st.pend_assoc[0]
+        fid = st.pend_fid[0]
+        gen = st.pend_gen[0]
+        st = st._replace(
+            pend_feats=jax.tree.map(lambda r: jnp.roll(r, -1, 0),
+                                    st.pend_feats),
+            pend_pose=jnp.roll(st.pend_pose, -1, 0),
+            pend_assoc=jnp.roll(st.pend_assoc, -1, 0),
+            pend_fid=jnp.roll(st.pend_fid, -1, 0).at[-1].set(-1),
+            pend_gen=jnp.roll(st.pend_gen, -1, 0),
+            pend_count=st.pend_count - 1)
+
+        # stale-association guard: a point culled (and its slot possibly
+        # recycled) after this keyframe was enqueued must not be linked
+        L = st.map.mp_valid.shape[0]
+        a_safe = jnp.clip(assoc, 0, L - 1)
+        stale = (assoc >= 0) & (~st.map.mp_valid[a_safe]
+                                | (st.map.mp_created_kf_gen[a_safe] > gen))
+        assoc = jnp.where(stale, -1, assoc)
+
+        # capacity: force-cull the most redundant non-immortal keyframe
+        # (host-engine parity; r1 silently stopped mapping at capacity)
+        def force_cull(st):
+            cres = culling.cull_keyframes(
+                st.map, st.last_kf, jnp.float32(0.0), jnp.int32(1),
+                window=K_total)
+            dead = cres.kf_culled_mask
+            targets = ph.nearest_valid_kf(st.map.kf_valid, dead,
+                                          st.history.anchor_kf)
+            h = ph.reanchor(st.history, st.map.kf_pose, st.map.kf_valid,
+                            dead, targets)
+            return st._replace(map=cres.map, history=h,
+                               kf_sig_valid=st.kf_sig_valid & ~dead)
+
+        st = jax.lax.cond(jnp.sum(st.map.kf_valid) >= K_total, force_cull,
+                          lambda s: s, st)
+
+        def do_insert(st):
+            m, slot = ms.insert_keyframe(st.map, pose, feats, assoc, fid)
+            sig = bv.signature(st.vocab, feats.desc, feats.valid)
+            kf_sig = st.kf_sig.at[slot].set(sig)
+            kf_sig_valid = st.kf_sig_valid.at[slot].set(st.bow_trained)
+
+            if s.mapping.use_cheap_loop_closure:
+                from mageslam_tpu.mapping.cheap_loop_closure import \
+                    cheap_loop_closure
+                m = cheap_loop_closure(m, slot, cal, s.loop_closure).map
+
+            m, _ = culling.cull_recent_map_points(
+                m,
+                jnp.float32(s.track_local_map.recent_map_point_pct_success),
+                jnp.int32(s.mapping
+                          .min_num_keyframes_for_map_point_culling))
+
+            npres = new_points.create_new_map_points(
+                m, slot, cal, s.mapping.new_map_points, fx,
+                num_candidates=int(s.mapping.new_map_points
+                                   .max_frames_for_new_points_creation))
+            m = npres.map
+
+            win = local_ba.build_local_window(
+                m, slot, st.covis_threshold.astype(jnp.int32),
+                window_size=cap.local_ba_keyframes, num_fixed=8,
+                max_points=cap.local_ba_points)
+            n_conn = jnp.sum(win.problem.obs_valid)
+            cv = s.covisibility
+            thr = st.covis_threshold
+            thr = jnp.where(n_conn > cv.upper_connections_for_ba,
+                            thr + cv.covis_ba_step_threshold, thr)
+            thr = jnp.where(n_conn < cv.lower_connections_for_ba,
+                            jnp.maximum(cv.covis_min_threshold,
+                                        thr - cv.covis_ba_step_threshold),
+                            thr)
+            return st._replace(
+                map=m, kf_sig=kf_sig, kf_sig_valid=kf_sig_valid,
+                covis_threshold=thr, last_kf=slot.astype(jnp.int32),
+                ba_window=win, ba_active=jnp.asarray(True),
+                ba_steps_left=jnp.int32(ba_total),
+                ba_center=slot.astype(jnp.int32),
+                ba_outliers=jnp.zeros_like(st.ba_outliers))
+
+        can_insert = jnp.sum(st.map.kf_valid) < K_total
+        return jax.lax.cond(can_insert, do_insert, lambda s: s, st)
+
+    def finish_mapping(st: EngineState) -> EngineState:
+        """Close out the window: outlier unassociation, keyframe culling +
+        history reanchor, then a loop-closure attempt on the mapped
+        keyframe (MappingWorker.cpp:290-320 + Runtime.cpp:527-529)."""
+        from mageslam_tpu.solvers.bundle_adjust import BAResult
         m = st.map
-        # insert keyframe + BoW
-        m, slot = ms.insert_keyframe(m, pose, feats, assoc, fid)
-        sig = bv.signature(st.vocab, feats.desc, feats.valid)
-        kf_sig = st.kf_sig.at[slot].set(sig)
-        kf_sig_valid = st.kf_sig_valid.at[slot].set(st.bow_trained)
-
-        # cheap loop closure (MappingWorker.cpp:30-75): reconnect distant
-        # structure before culling/BA so the window sees the new edges
-        if s.mapping.use_cheap_loop_closure:
-            from mageslam_tpu.mapping.cheap_loop_closure import \
-                cheap_loop_closure
-            m = cheap_loop_closure(m, slot, cal, s.loop_closure).map
-
-        # recent-point culling
-        m, _ = culling.cull_recent_map_points(
-            m, jnp.float32(s.track_local_map.recent_map_point_pct_success),
-            jnp.int32(s.mapping.min_num_keyframes_for_map_point_culling))
-
-        # new map points
-        npres = new_points.create_new_map_points(
-            m, slot, cal, s.mapping.new_map_points, fx,
-            num_candidates=int(
-                s.mapping.new_map_points.max_frames_for_new_points_creation))
-        m = npres.map
-
-        # local BA (adaptive covis threshold + persisted lambda)
-        win = local_ba.build_local_window(
-            m, slot, st.covis_threshold.astype(jnp.int32),
-            window_size=cap.local_ba_keyframes, num_fixed=8,
-            max_points=cap.local_ba_points)
-        n_conn = jnp.sum(win.problem.obs_valid)
-        cv = s.covisibility
-        thr = st.covis_threshold
-        thr = jnp.where(n_conn > cv.upper_connections_for_ba,
-                        thr + cv.covis_ba_step_threshold, thr)
-        thr = jnp.where(n_conn < cv.lower_connections_for_ba,
-                        jnp.maximum(cv.covis_min_threshold,
-                                    thr - cv.covis_ba_step_threshold), thr)
-        steps = max(int(s.bundle_adjust.num_steps) * 4, 4)
-        res = bundle_adjust_impl(
-            win.problem, jnp.float32(s.bundle_adjust.huber_width * px),
-            jnp.float32(s.bundle_adjust.max_outlier_error * px),
-            num_steps=steps, lam0=st.lam)
-        lam = jnp.maximum(res.lam, s.mapping.min_lambda) \
-            if s.mapping.persist_lambda else st.lam
-        m = local_ba.apply_window_result(m, win, res)
+        slot = st.ba_center
         if s.track_local_map.unassociate_outliers:
-            m = local_ba.unassociate_outliers(m, win, res)
+            fake = BAResult(st.ba_window.problem.kf_poses,
+                            st.ba_window.problem.points,
+                            jnp.float32(0), st.lam, st.ba_outliers,
+                            jnp.int32(0))
+            m = local_ba.unassociate_outliers(m, st.ba_window, fake)
 
-        # keyframe culling + history reanchor
         cres = culling.cull_keyframes(
             m, slot,
             jnp.float32(s.keyframe.mapping_max_tracking_point_overlap),
@@ -316,14 +483,10 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
         targets = ph.nearest_valid_kf(m.kf_valid, dead,
                                       st.history.anchor_kf)
         h = ph.reanchor(st.history, m.kf_pose, m.kf_valid, dead, targets)
-        m = cres.map
-        kf_sig_valid = kf_sig_valid & ~dead
-
-        st = st._replace(map=m, history=h, kf_sig=kf_sig,
-                         kf_sig_valid=kf_sig_valid, lam=lam,
-                         covis_threshold=thr,
-                         last_kf=slot.astype(jnp.int32),
-                         frames_since_kf=jnp.int32(0))
+        st = st._replace(map=cres.map, history=h,
+                         kf_sig_valid=st.kf_sig_valid & ~dead,
+                         ba_active=jnp.asarray(False),
+                         ba_steps_left=jnp.int32(0))
 
         # loop closure (compiled in only when enabled)
         if s.loop_closure.enable_loop_closure:
@@ -335,6 +498,7 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
                                      s.relocalization, fx)
 
                 def close(st):
+                    before = st.map.kf_pose[slot]
                     m = lc.apply_similarity_correction(st.map, slot, det)
                     m = lc.merge_loop_points(m, slot, det, cal,
                                              s.loop_closure)
@@ -343,8 +507,9 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
                         m, jnp.float32(ba.huber_width * px),
                         jnp.float32(ba.max_outlier_error * px),
                         num_steps=max(int(ba.num_steps), 5), lam0=st.lam)
-                    return st._replace(map=m,
-                                       loops_closed=st.loops_closed + 1)
+                    st = st._replace(map=m,
+                                     loops_closed=st.loops_closed + 1)
+                    return _rebase_prior(st, before, m.kf_pose[slot])
 
                 return jax.lax.cond(det.found, close, lambda st: st,
                                     st._replace(key=key))
@@ -355,10 +520,47 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
                 try_loop, lambda st: st, st)
         return st
 
+    def ba_iterate(st: EngineState) -> EngineState:
+        """Advance the active window by num_steps_per_run LM iterations and
+        write back (BundleAdjust{First,Nth}WriteToMap); early-out when new
+        keyframes are pending or the error floor is reached."""
+        win = st.ba_window
+        res = bundle_adjust_impl(
+            win.problem, jnp.float32(s.bundle_adjust.huber_width * px),
+            jnp.float32(s.bundle_adjust.max_outlier_error * px),
+            num_steps=ba_per_run, lam0=st.lam)
+        lam = jnp.maximum(res.lam, s.mapping.min_lambda) \
+            if s.mapping.persist_lambda else st.lam
+        win = win._replace(problem=win.problem._replace(
+            kf_poses=res.kf_poses, points=res.points))
+        before = st.map.kf_pose[st.ba_center]
+        m = local_ba.apply_window_result(st.map, win, res)
+        st = st._replace(map=m, ba_window=win, lam=lam,
+                         ba_steps_left=st.ba_steps_left - ba_per_run,
+                         ba_outliers=res.outliers)
+        st = _rebase_prior(st, before, m.kf_pose[st.ba_center])
+        done = (st.ba_steps_left <= 0) | (st.pend_count > 0) \
+            | (res.mean_sq_error <= mse_floor)
+        return jax.lax.cond(done, finish_mapping, lambda s: s, st)
+
+    def advance_mapping(st: EngineState) -> EngineState:
+        """One unit of mapping work per engine step."""
+        return jax.lax.cond(
+            st.ba_active, ba_iterate,
+            lambda st: jax.lax.cond(st.pend_count > 0, drain_pending,
+                                    lambda s: s, st),
+            st)
+
     # ------------------------------------------------------------------
-    def track_branch(st: EngineState, feats: FrameFeatures, ts, fid):
-        prior = se3.constant_velocity_extrapolate(st.pose_prev2,
-                                                  st.pose_prev)
+    def track_branch(st: EngineState, feats: FrameFeatures, ts, fid,
+                     ext_prior, ext_prior_ok):
+        # pose prior: an external provider (IMU / host-side strategy,
+        # Tracking/IPosePriorProvider.h) when supplied, else the built-in
+        # constant-velocity model (MotionModelPriorProvider)
+        prior = jnp.where(ext_prior_ok,
+                          ext_prior,
+                          se3.constant_velocity_extrapolate(st.pose_prev2,
+                                                            st.pose_prev))
         tres = track.track_frame(st.map, feats, prior, st.last_kf, cal, s,
                                  max_local_kf=cap.local_ba_keyframes)
 
@@ -373,7 +575,12 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
                              frames_since_kf=st.frames_since_kf + 1,
                              frames_since_reloc=st.frames_since_reloc + 1)
 
-            # keyframe decision (NewKeyFrameDecision.cpp:153-202 in jnp)
+            # keyframe decision — the jnp mirror of
+            # tracking/keyframe_decision.should_add_keyframe
+            # (NewKeyFrameDecision.cpp:153-202).  mapping_idle is now a
+            # REAL signal: no pending keyframes and no window being
+            # iterated (the interleaved-BA pipeline above).
+            mapping_idle = (st.pend_count == 0) & ~st.ba_active
             mem_ref = jnp.sum(ms.member_matrix(m)[ref_kf])
             overlap = tres.num_inliers / jnp.maximum(mem_ref, 1)
             cam_c = se3.camera_center(pose)
@@ -385,24 +592,23 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
             moved = jnp.linalg.norm(cam_c - ref_c) \
                 >= s.keyframe.min_frame_move_to_min_depth_ratio * min_depth
             cadence = (st.frames_since_kf >= s.keyframe.min_frame_count) \
-                | (st.frames_since_kf >= 1)  # mapping idle (synchronous)
+                | (mapping_idle & (st.frames_since_kf >= 1))
             cadence &= st.frames_since_reloc \
                 >= s.keyframe.min_frame_count_reloc
+            idle_insert = mapping_idle & (
+                overlap <= s.keyframe.mapping_max_tracking_point_overlap)
             overlap_ok = (overlap <= s.keyframe.max_tracking_point_overlap) \
-                | moved \
-                | (overlap <= s.keyframe.mapping_max_tracking_point_overlap)
+                | moved | idle_insert
             want_kf = (tres.num_inliers
                        >= s.keyframe.min_tracking_point_count) \
                 & (tres.num_matched
                    <= s.keyframe.max_tracking_point_matches) \
                 & cadence & overlap_ok
-            # capacity: only insert when a slot is free (the host engine
-            # force-culls; here we simply skip at capacity)
-            want_kf &= jnp.sum(st.map.kf_valid) < cap.max_keyframes
 
             st = jax.lax.cond(
                 want_kf,
-                lambda st: mapping_step(st, feats, pose, tres.assoc, fid),
+                lambda st: enqueue_keyframe(st, feats, pose, tres.assoc,
+                                            fid),
                 lambda st: st, st)
             return st._replace(pose_prev2=st.pose_prev, pose_prev=pose)
 
@@ -477,7 +683,8 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
 
     # ------------------------------------------------------------------
     @jax.jit
-    def step(st: EngineState, img: jnp.ndarray, ts, fid):
+    def _step(st: EngineState, img: jnp.ndarray, ts, fid, ext_prior,
+              ext_prior_ok):
         feats = extract_features(
             img, cal, float(fe.fast_threshold), max_features=F,
             num_levels=int(fe.num_levels),
@@ -487,14 +694,42 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
             cells_x=int(fe.num_cells_x), cells_y=int(fe.num_cells_y))
         st = feed_bow_training(st, feats)
 
+        # advance the mapping pipeline FIRST so this frame's tracking
+        # reads the newest commit (TrackingReadState is granted between
+        # every mapping state, Runtime.cpp:589-599)
+        st = jax.lax.cond(st.initialized, advance_mapping, lambda s: s, st)
+
         st, code, pose, n_inl = jax.lax.cond(
             st.initialized,
-            lambda st: track_branch(st, feats, ts, fid),
+            lambda st: track_branch(st, feats, ts, fid, ext_prior,
+                                    ext_prior_ok),
             lambda st: init_branch(st, feats, ts, fid),
             st)
         out = _pack_output(code, pose, n_inl,
                            jnp.sum(st.map.kf_valid),
-                           jnp.sum(st.map.mp_valid), st.loops_closed)
+                           jnp.sum(st.map.mp_valid), st.loops_closed,
+                           (code == CODE_TRACKING)
+                           & (st.frames_since_kf == 0),
+                           jnp.sum(feats.valid))
         return st, out
 
-    return empty_state(settings), step
+    def step(st: EngineState, img: jnp.ndarray, ts, fid, ext_prior=None):
+        """Engine step; ext_prior (7,) optionally overrides the built-in
+        constant-velocity pose prior for this frame."""
+        if ext_prior is None:
+            return _step(st, img, ts, fid, se3.pose_identity(),
+                         jnp.asarray(False))
+        return _step(st, img, ts, fid, jnp.asarray(ext_prior),
+                     jnp.asarray(True))
+
+    @jax.jit
+    def drain_mapping(st: EngineState) -> EngineState:
+        """Run the mapping pipeline to completion (pending keyframes +
+        active BA) — used by flush/fossilize, the analog of the runtime
+        teardown waiting out its workers (Runtime.cpp:699-709)."""
+        return jax.lax.while_loop(
+            lambda st: st.initialized & (st.ba_active
+                                         | (st.pend_count > 0)),
+            advance_mapping, st)
+
+    return empty_state(settings), step, drain_mapping

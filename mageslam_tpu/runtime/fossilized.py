@@ -29,12 +29,13 @@ class FossilizedMap:
     keyframe_frame_ids: np.ndarray  # (Q,)
 
     @staticmethod
-    def from_engine(engine) -> "FossilizedMap":
-        m = engine.map_state
-        poses, ok = ph.world_poses(engine._history, m.kf_pose, m.kf_valid)
+    def from_state(m, history) -> "FossilizedMap":
+        """Build from a (MapState, PoseHistory) pair — works for both the
+        host engine and the fused device engine's EngineState fields."""
+        poses, ok = ph.world_poses(history, m.kf_pose, m.kf_valid)
         ok = np.asarray(ok)
-        fid = np.asarray(engine._history.frame_id)[ok]
-        ts = np.asarray(engine._history.timestamp)[ok]
+        fid = np.asarray(history.frame_id)[ok]
+        ts = np.asarray(history.timestamp)[ok]
         pw = np.asarray(poses)[ok]
         order = np.argsort(fid, kind="stable")
         kf_ok = np.asarray(m.kf_valid)
@@ -46,6 +47,10 @@ class FossilizedMap:
             keyframe_poses=np.asarray(m.kf_pose)[kf_ok],
             keyframe_frame_ids=np.asarray(m.kf_frame_id)[kf_ok],
         )
+
+    @staticmethod
+    def from_engine(engine) -> "FossilizedMap":
+        return FossilizedMap.from_state(engine.map_state, engine._history)
 
     def pose_for_frame(self, frame_id: int) -> Optional[np.ndarray]:
         i = np.searchsorted(self.frame_ids, frame_id)

@@ -8,6 +8,11 @@ so host<->device round-trips amortize to ~25ms / fetch_every per frame on
 the axon relay.  This mirrors the reference API exactly: MAGESlam::
 ProcessFrame returns a std::future<Tracking> (MageSlam.h:150) — results
 there are asynchronous too.
+
+Full API parity with the host engine (MageSlam.h:156-182): stereo init,
+sensor samples + fuser, pose-prior providers, VOI, tracking-results
+queries, mediator events (fired when results materialize — the reference's
+events are asynchronous on the tracking dispatcher too).
 """
 
 from __future__ import annotations
@@ -19,11 +24,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from mageslam_tpu.config import MageSlamSettings
+from mageslam_tpu.geometry import se3
 from mageslam_tpu.geometry.camera import CameraCalibration
 from mageslam_tpu.mapping import global_ba
+from mageslam_tpu.mapstore import pose_history as ph
 from mageslam_tpu.ops import pyramid
 from mageslam_tpu.runtime import device_engine as de
+from mageslam_tpu.runtime.facade_common import (SensorFacadeMixin,
+                                                seed_map_from_stereo,
+                                                tracking_results_from_history,
+                                                volume_of_interest_from_map)
 from mageslam_tpu.runtime.slam import TrackingResult, TrackingState
+from mageslam_tpu.utils.mediator import (AnalysisCompleted, Mediator,
+                                         PoseRefined, TrackingLost)
 
 _CODE_TO_STATE = {
     de.CODE_SKIPPED: TrackingState.SKIPPED,
@@ -33,16 +46,19 @@ _CODE_TO_STATE = {
 }
 
 
-class MageSlamTPUFused:
+class MageSlamTPUFused(SensorFacadeMixin):
     """Fused-pipeline SLAM engine; results resolve within fetch_every
     frames (call flush() to resolve immediately)."""
 
     def __init__(self, settings: MageSlamSettings,
                  calibration: CameraCalibration, seed: int = 0,
-                 fetch_every: int = 8):
+                 fetch_every: int = 8, pose_prior_provider=None):
         self.settings = settings
         self.cal = calibration
-        self._state, self._step = de.make_engine(settings, calibration)
+        self.mediator = Mediator()
+        self._prior_provider = pose_prior_provider
+        self._state, self._step, self._drain_mapping = \
+            de.make_engine(settings, calibration)
         self._state = self._state._replace(key=jax.random.key(seed))
         self._fetch_every = max(1, fetch_every)
         self._pending: list = []      # [(fid, ts, device_out)]
@@ -57,8 +73,12 @@ class MageSlamTPUFused:
         self._frame_id += 1
         ts = timestamp if timestamp is not None else fid / 30.0
         gray = pyramid.to_gray_f32(img)
+        prior = None
+        if self._prior_provider is not None:
+            prior = self._prior_provider.get_pose_for_time(ts)
         self._state, out = self._step(self._state, gray,
-                                      jnp.float32(ts), jnp.int32(fid))
+                                      jnp.float32(ts), jnp.int32(fid),
+                                      ext_prior=prior)
         self._pending.append((fid, ts, out))
         if len(self._pending) >= self._fetch_every:
             self._drain()
@@ -66,7 +86,11 @@ class MageSlamTPUFused:
             fid, TrackingResult(fid, ts, TrackingState.SKIPPED))
 
     def _materialize(self, batch):
-        """Resolve one in-flight (meta, stacked device array) batch."""
+        """Resolve one in-flight (meta, stacked device array) batch and
+        fire the deferred per-frame plumbing: mediator events, fuser image
+        fences, prior-provider updates.  (In the reference these run on
+        the tracking dispatcher thread — asynchronous to the caller too.)
+        """
         meta, stacked = batch
         outs = np.asarray(stacked)
         for (fid, ts), row in zip(meta, outs):
@@ -74,7 +98,18 @@ class MageSlamTPUFused:
             state = _CODE_TO_STATE.get(code, TrackingState.SKIPPED)
             pose = row[1:8].copy() if state == TrackingState.TRACKING \
                 else None
-            self._results[fid] = TrackingResult(fid, ts, state, pose)
+            result = TrackingResult(fid, ts, state, pose)
+            self._results[fid] = result
+            self.mediator.send(AnalysisCompleted(fid, int(row[13])))
+            if state == TrackingState.TRACKING:
+                if self._prior_provider is not None:
+                    self._prior_provider.on_tracking_pose(ts, pose)
+                self.mediator.send(PoseRefined(
+                    fid, pose, is_keyframe=bool(row[12] > 0),
+                    num_inliers=int(row[8])))
+            elif state == TrackingState.RELOCALIZING:
+                self.mediator.send(TrackingLost(fid, 0))
+            self._drive_fuser(ts, result)
 
     def _drain(self, final: bool = False):
         # double-buffered fetch: stack this window's outputs into ONE
@@ -108,7 +143,79 @@ class MageSlamTPUFused:
             self._drain(final=True)
         return self._results.get(fid)
 
+    def get_tracking_results_for_frames(self, frame_ids):
+        """Per-frame poses updated by all later optimization
+        (MAGESlam::GetTrackingResultsForFrames, MageSlam.h:161)."""
+        self._drain(final=True)
+        st = self._state
+        return tracking_results_from_history(
+            st.history, st.map.kf_pose, st.map.kf_valid, self._results,
+            frame_ids)
+
     # ------------------------------------------------------------------
+    # stereo / VOI parity (MageSlam.h:156-182)
+    # ------------------------------------------------------------------
+
+    def process_stereo_frames(self, img1, img2, extrinsics,
+                              timestamp: Optional[float] = None):
+        """MAGESlam::ProcessStereoFrames (MageSlam.h:156): bootstrap the
+        map METRICALLY from one calibrated pair, then track monocularly on
+        the primary camera.  Returns a (primary, secondary) TrackingResult
+        pair — one result per stereo frame, like the reference's
+        per-frame futures."""
+        from mageslam_tpu.tracking import stereo
+        from mageslam_tpu.tracking.frontend import extract_for_settings
+        if bool(self._state.initialized):
+            r1 = self.process_frame(img1, timestamp)
+            r2 = TrackingResult(r1.frame_id, r1.timestamp, r1.state,
+                                None if r1.pose is None else np.asarray(
+                                    se3.pose_compose(
+                                        jnp.asarray(extrinsics),
+                                        jnp.asarray(r1.pose))))
+            return r1, r2
+        fid = self._frame_id
+        self._frame_id += 1
+        ts = timestamp if timestamp is not None else fid / 30.0
+        g1 = pyramid.to_gray_f32(img1)
+        g2 = pyramid.to_gray_f32(img2)
+        f1 = extract_for_settings(g1, self.cal, self.settings.mono.camera,
+                                  self.settings.capacity.max_features)
+        f2 = extract_for_settings(g2, self.cal, self.settings.mono.camera,
+                                  self.settings.capacity.max_features)
+        res = stereo.stereo_initialize(
+            f1, f2, jnp.asarray(extrinsics),
+            self.settings.stereo.map_init, float(self.cal.fx))
+        if not bool(res.success):
+            r = TrackingResult(fid, ts, TrackingState.INITIALIZING)
+            self._results[fid] = r
+            return r, r
+        st = self._state
+        m, h, s0, s1 = seed_map_from_stereo(
+            st.map, st.history, f1, f2, res, extrinsics, fid, ts)
+        self._state = st._replace(
+            map=m, history=h, initialized=jnp.asarray(True),
+            pose_prev=se3.pose_identity(), pose_prev2=se3.pose_identity(),
+            last_kf=jnp.asarray(s0, jnp.int32),
+            frames_since_kf=jnp.int32(0))
+        r1 = TrackingResult(fid, ts, TrackingState.TRACKING,
+                            np.asarray(se3.pose_identity()))
+        r2 = TrackingResult(fid, ts, TrackingState.TRACKING,
+                            np.asarray(extrinsics, np.float32))
+        self._results[fid] = r1
+        return r1, r2
+
+    def try_get_volume_of_interest(self):
+        """MAGESlam::TryGetVolumeOfInterest (MageSlam.h:178)."""
+        self._settle()
+        return volume_of_interest_from_map(self._state.map, self.cal,
+                                           self.settings)
+
+    # ------------------------------------------------------------------
+    def _settle(self):
+        """Finish any deferred mapping work (pending keyframes / active
+        BA window) so map queries see a consistent final state."""
+        self._state = self._drain_mapping(self._state)
+
     @property
     def map_state(self):
         return self._state.map
@@ -126,9 +233,12 @@ class MageSlamTPUFused:
         return int(self._state.loops_closed)
 
     def fossilize(self):
-        """Final global BA + immutable trajectory (MAGESlam::Fossilize)."""
+        """Final global BA + immutable trajectory (MAGESlam::Fossilize:
+        stop workers -> final BA -> immutable queryable trajectory,
+        MAGESlam.cpp:322-383)."""
         from mageslam_tpu.runtime.fossilized import FossilizedMap
-        self._drain()
+        self._drain(final=True)
+        self._settle()
         s = self.settings
         px = 1.0 / float(self.cal.fx)
         if bool(self._state.initialized):
@@ -139,11 +249,5 @@ class MageSlamTPUFused:
                 jnp.float32(s.graph_optimization.max_outlier_error * px),
                 num_steps=num_steps, lam0=self._state.lam)
             self._state = self._state._replace(map=m)
-
-        class _Adapter:
-            pass
-
-        a = _Adapter()
-        a.map_state = self._state.map
-        a._history = self._state.history
-        return FossilizedMap.from_engine(a)
+        return FossilizedMap.from_state(self._state.map,
+                                        self._state.history)

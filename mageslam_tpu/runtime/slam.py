@@ -72,7 +72,13 @@ class TrackingResult:
         return np.asarray(se3.pose_to_mat44(jnp.asarray(self.pose)))
 
 
-class MageSlamTPU:
+from mageslam_tpu.runtime.facade_common import (SensorFacadeMixin,
+                                                seed_map_from_stereo,
+                                                tracking_results_from_history,
+                                                volume_of_interest_from_map)
+
+
+class MageSlamTPU(SensorFacadeMixin):
     """Monocular keyframe SLAM engine (MageSlam.h:25-187 analog)."""
 
     def __init__(self, settings: MageSlamSettings,
@@ -142,24 +148,6 @@ class MageSlamTPU:
         self._drive_fuser(ts, result)
         return result
 
-    def _drive_fuser(self, ts, result):
-        """Image-fence drain + fuser mode machine (FuserWorker.cpp:44-142
-        glue; active only once sensor samples were added)."""
-        if not hasattr(self, "_sensor_queue") or \
-                not self.settings.fuser.use_fuser:
-            return
-        samples = self._sensor_queue.drain_until(ts)
-        accel, gyro = self._sensor_queue.split_by_type(samples)
-        if result.state == TrackingState.TRACKING:
-            self._fuser.on_mage_initialized()
-            self._fuser.on_visual_reacquired()
-            self._fuser.process_fence(accel, gyro, result.pose)
-        elif result.state == TrackingState.RELOCALIZING:
-            self._fuser.on_visual_lost()
-            self._fuser.process_fence(accel, gyro, None)
-        else:
-            self._fuser.process_fence(accel, gyro, None)
-
     def fossilize(self):
         """Stop, final global BA, immutable trajectory
         (MAGESlam::Fossilize, MAGESlam.cpp:322-383)."""
@@ -178,64 +166,34 @@ class MageSlamTPU:
     def get_tracking_results_for_frames(self, frame_ids):
         """Re-read per-frame results with poses updated by all later
         optimization (MAGESlam::GetTrackingResultsForFrames)."""
-        poses, ok = ph.world_poses(self._history, self._map.kf_pose,
-                                   self._map.kf_valid)
-        poses = np.asarray(poses)
-        ok = np.asarray(ok)
-        hist_fid = np.asarray(self._history.frame_id)
-        out = []
-        for fid in frame_ids:
-            match = np.nonzero(ok & (hist_fid == fid))[0]
-            if len(match):
-                r = self._results.get(fid)
-                out.append(TrackingResult(
-                    fid, r.timestamp if r else fid / 30.0,
-                    TrackingState.TRACKING, poses[match[0]]))
-            else:
-                r = self._results.get(
-                    fid, TrackingResult(fid, fid / 30.0,
-                                        TrackingState.SKIPPED))
-                out.append(r)
-        return out
+        return tracking_results_from_history(
+            self._history, self._map.kf_pose, self._map.kf_valid,
+            self._results, frame_ids)
 
     # ------------------------------------------------------------------
-    # sensor / stereo / VOI API parity (MageSlam.h:156-182)
+    # stereo / VOI API parity (MageSlam.h:156-182); sensor samples +
+    # gravity/scale live in SensorFacadeMixin
     # ------------------------------------------------------------------
-
-    def add_sensor_sample(self, sample) -> bool:
-        """MAGESlam::AddSensorSample (MageSlam.h:164)."""
-        if not hasattr(self, "_sensor_queue"):
-            from mageslam_tpu.fuser.samples import SensorSampleQueue
-            from mageslam_tpu.fuser.imu import Fuser
-            self._sensor_queue = SensorSampleQueue(
-                drop_mag=self.settings.fuser.drop_mag_samples)
-            self._fuser = Fuser()
-        return self._sensor_queue.add_sample(sample)
-
-    def get_gravity_direction(self):
-        """Gravity in the map frame once converged (MageSlam.h:168)."""
-        if hasattr(self, "_fuser") and self._fuser.has_gravity:
-            g = self._fuser.gravity_w
-            return g / max(np.linalg.norm(g), 1e-9)
-        return None
-
-    def get_scale(self):
-        """Metric scale estimate once converged (MageSlam.h:172)."""
-        if hasattr(self, "_fuser"):
-            return self._fuser.scale
-        return None
 
     def process_stereo_frames(self, img1, img2, extrinsics,
                               timestamp: Optional[float] = None):
         """MAGESlam::ProcessStereoFrames (MageSlam.h:156): bootstrap the map
         METRICALLY from one calibrated pair (StereoInitializationWorker),
         then track on the primary camera.  extrinsics: (7,) pose taking
-        camera-1 coords to camera-2 coords."""
+        camera-1 coords to camera-2 coords.  Returns a (primary, secondary)
+        TrackingResult pair — one per stereo frame like the reference's
+        per-frame futures."""
         from mageslam_tpu.tracking import stereo
         fid = self._frame_id
         ts = timestamp if timestamp is not None else fid / 30.0
         if self._initialized:
-            return self.process_frame(img1, timestamp)
+            r1 = self.process_frame(img1, timestamp)
+            r2 = TrackingResult(r1.frame_id, r1.timestamp, r1.state,
+                                None if r1.pose is None else np.asarray(
+                                    se3.pose_compose(
+                                        jnp.asarray(extrinsics),
+                                        jnp.asarray(r1.pose))))
+            return r1, r2
         self._frame_id += 1
         g1 = pyramid.to_gray_f32(img1)
         g2 = pyramid.to_gray_f32(img2)
@@ -250,63 +208,26 @@ class MageSlamTPU:
         if not bool(res.success):
             r = TrackingResult(fid, ts, TrackingState.INITIALIZING)
             self._results[fid] = r
-            return r
-        # seed: keyframe 0 = camera 1 at identity, keyframe 1 = camera 2 at
-        # the extrinsics, EXTRINSIC-tethered metric map
-        F = f1.valid.shape[0]
-        normal = res.points / jnp.maximum(
-            jnp.linalg.norm(res.points, axis=-1, keepdims=True), 1e-9)
-        self._map, mp_ids = ms.allocate_map_points(
-            self._map, res.points, f1.desc, normal, 0, res.point_valid)
-        created = mp_ids >= 0
-        assoc1 = jnp.where(created, mp_ids, -1)
-        self._map, s0 = ms.insert_keyframe(
-            self._map, se3.pose_identity(), f1, assoc1, fid, immortal=True)
-        feat2 = jnp.clip(res.match_idx, 0)
-        assoc2 = jnp.full(F + 1, -1, jnp.int32).at[
-            jnp.where(created & (res.match_idx >= 0), feat2, F)
-        ].set(jnp.where(created, mp_ids, -1))[:F]
-        self._map, s1 = ms.insert_keyframe(
-            self._map, jnp.asarray(extrinsics), f2, assoc2, fid,
-            immortal=True)
-        self._history = ph.add_pose(self._history, fid, ts,
-                                    se3.pose_identity(), s0,
-                                    se3.pose_identity())
+            return r, r
+        self._map, self._history, s0, s1 = seed_map_from_stereo(
+            self._map, self._history, f1, f2, res, extrinsics, fid, ts)
         self._initialized = True
         self._pose_prev = se3.pose_identity()
         self._pose_prev2 = se3.pose_identity()
         self._last_kf = int(s0)
         self._frames_since_kf = 0
         self._kf_frame_ids = [fid]
-        r = TrackingResult(fid, ts, TrackingState.TRACKING,
-                           np.asarray(se3.pose_identity()))
-        self._results[fid] = r
-        return r
+        r1 = TrackingResult(fid, ts, TrackingState.TRACKING,
+                            np.asarray(se3.pose_identity()))
+        r2 = TrackingResult(fid, ts, TrackingState.TRACKING,
+                            np.asarray(extrinsics, np.float32))
+        self._results[fid] = r1
+        return r1, r2
 
     def try_get_volume_of_interest(self):
         """MAGESlam::TryGetVolumeOfInterest (MageSlam.h:178)."""
-        from mageslam_tpu.mapstore.depths import bounding_plane_depths
-        from mageslam_tpu.mapstore.volume_of_interest import \
-            compute_volume_of_interest
-        kf_ok = np.asarray(self._map.kf_valid)
-        idx = np.nonzero(kf_ok)[0]
-        if len(idx) < 2:
-            return None
-        poses, nears, fars, valid = [], [], [], []
-        mem = ms.member_matrix(self._map)
-        for k in idx:
-            near, far, ok = bounding_plane_depths(
-                self._map.kf_pose[int(k)], self._map.mp_pos,
-                mem[int(k)], self.cal, self.settings.bounding_depth)
-            poses.append(np.asarray(self._map.kf_pose[int(k)]))
-            nears.append(float(near))
-            fars.append(float(far))
-            valid.append(bool(ok))
-        voi = compute_volume_of_interest(
-            np.asarray(poses), np.asarray(nears, np.float32),
-            np.asarray(fars, np.float32), np.asarray(valid),
-            self.settings.volume_of_interest)
-        return voi if voi.valid else None
+        return volume_of_interest_from_map(self._map, self.cal,
+                                           self.settings)
 
     @property
     def map_state(self) -> ms.MapState:
@@ -450,10 +371,24 @@ class MageSlamTPU:
             motion_distance=float(jnp.linalg.norm(cam_c - ref_c)),
             min_scene_depth=min_depth if np.isfinite(min_depth) else 1.0,
         ))
+        prev_for_model = self._pose_prev
         if decision:
-            self._mapping_step(fid, feats, pose, tres.assoc)
+            slot = self._mapping_step(fid, feats, pose, tres.assoc)
+            if slot is not None:
+                # motion-prior re-basing (TrackLocalMapWorker.cpp:121-204):
+                # local BA / loop closure may have moved the just-inserted
+                # keyframe; extrapolating the pre-correction pose against
+                # the corrected map would cause a tracking dropout right
+                # after every correction.  after = before ∘ D, so apply D
+                # to both motion-model poses to preserve velocity.
+                corrected = self._map.kf_pose[slot]
+                D = se3.pose_compose(se3.pose_inverse(pose), corrected)
+                pose = corrected
+                if prev_for_model is not None:
+                    prev_for_model = se3.pose_compose(
+                        jnp.asarray(prev_for_model), D)
 
-        self._pose_prev2 = self._pose_prev
+        self._pose_prev2 = prev_for_model
         self._pose_prev = pose
         if self._prior_provider is not None:
             self._prior_provider.on_tracking_pose(ts, pose)
@@ -558,7 +493,7 @@ class MageSlamTPU:
             cres = culling.cull_keyframes(
                 self._map, self._last_kf, jnp.float32(0.0), jnp.int32(1))
             if int(cres.num_keyframes_culled) == 0:
-                return  # nothing cullable; drop this keyframe
+                return None  # nothing cullable; drop this keyframe
             dead = cres.kf_culled_mask
             targets = ph.nearest_valid_kf(self._map.kf_valid, dead,
                                           self._history.anchor_kf)
@@ -650,6 +585,7 @@ class MageSlamTPU:
         if (s.loop_closure.enable_loop_closure and self._bow_trained
                 and self.num_keyframes >= s.loop_closure.min_keyframe):
             self._attempt_loop_closure(slot)
+        return slot
 
     def _attempt_loop_closure(self, slot: int):
         s = self.settings

@@ -21,13 +21,20 @@ from mageslam_tpu.geometry.camera import CameraCalibration, unproject
 from mageslam_tpu.ops import fast, fast_pallas, orb, pyramid, select
 
 
-def _detect(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """FAST + NMS score map: fused Pallas kernel on TPU (2.3x the jnp
-    formulation, bit-exact — ops/fast_pallas.py), jnp elsewhere.
-    threshold must be a concrete float (config constant)."""
-    if jax.default_backend() == "tpu":
-        return fast_pallas.detect(img, float(threshold))
-    return fast.detect(img, threshold)
+# The grid-less Pallas kernels keep the whole padded image plus ~40 (h, w)
+# f32 intermediates live in VMEM (~16 MB); beyond this pixel count the
+# Mosaic compile would blow VMEM, so larger levels take the jnp path.
+PALLAS_MAX_PIXELS = 100_000
+
+
+def _use_pallas(shape, use_pallas: bool | None) -> bool:
+    """Resolve the kernel dispatch: explicit flag wins; default = the
+    process backend (jax.default_backend()), guarded by the VMEM budget."""
+    if shape[0] * shape[1] > PALLAS_MAX_PIXELS:
+        return False
+    if use_pallas is None:
+        return jax.default_backend() == "tpu"
+    return bool(use_pallas)
 
 
 class FrameFeatures(NamedTuple):
@@ -64,11 +71,6 @@ def empty_features(max_features: int) -> FrameFeatures:
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("fast_threshold", "max_features", "num_levels",
-                     "scale_factor", "gaussian_ksize", "use_orientation",
-                     "cells_x", "cells_y", "per_cell"))
 def extract_features(img: jnp.ndarray, cal: CameraCalibration,
                      fast_threshold: float,
                      max_features: int = 512,
@@ -77,13 +79,44 @@ def extract_features(img: jnp.ndarray, cal: CameraCalibration,
                      gaussian_ksize: int = 7,
                      use_orientation: bool = False,
                      cells_x: int = 32, cells_y: int = 32,
-                     per_cell: int = 4) -> FrameFeatures:
+                     per_cell: int = 4,
+                     use_pallas: bool | None = None) -> FrameFeatures:
     """Full frontend on a grayscale float32 (H, W) image.
 
-    Multi-level detection splits the feature budget per level by inverse
-    scale area (like the reference's per-level allocation) and maps keypoint
-    coords back to level-0 pixels.
+    Kernel dispatch (Pallas vs jnp) is resolved here per pyramid level —
+    outside the jit — so the choice is an explicit static argument of the
+    compiled program rather than a trace-time peek at the process default
+    backend (the jit cache keys on it, and CPU placement in a TPU-default
+    process works).
     """
+    h, w = img.shape[:2]
+    flags = tuple(
+        _use_pallas(pyramid.level_shape(h, w, lvl, scale_factor), use_pallas)
+        for lvl in range(num_levels))
+    return _extract_features_impl(
+        img, cal, fast_threshold, max_features, num_levels, scale_factor,
+        gaussian_ksize, use_orientation, cells_x, cells_y, per_cell,
+        flags)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fast_threshold", "max_features", "num_levels",
+                     "scale_factor", "gaussian_ksize", "use_orientation",
+                     "cells_x", "cells_y", "per_cell", "pallas_flags"))
+def _extract_features_impl(img: jnp.ndarray, cal: CameraCalibration,
+                           fast_threshold: float,
+                           max_features: int,
+                           num_levels: int,
+                           scale_factor: float,
+                           gaussian_ksize: int,
+                           use_orientation: bool,
+                           cells_x: int, cells_y: int,
+                           per_cell: int,
+                           pallas_flags: tuple) -> FrameFeatures:
+    """Jitted frontend body.  Multi-level detection splits the feature
+    budget per level by inverse scale area (like the reference's per-level
+    allocation) and maps keypoint coords back to level-0 pixels."""
     img = img.astype(jnp.float32)
     levels = pyramid.build_pyramid(img, num_levels, scale_factor)
 
@@ -96,15 +129,16 @@ def extract_features(img: jnp.ndarray, cal: CameraCalibration,
     # fix rounding so sum == max_features
     budgets[0] += max_features - sum(budgets)
 
-    on_tpu = jax.default_backend() == "tpu"
     for lvl, (lv_img, budget) in enumerate(zip(levels, budgets)):
+        on_tpu = pallas_flags[lvl] if lvl < len(pallas_flags) else False
         if on_tpu and gaussian_ksize <= 2 * fast_pallas.PAD + 1:
             # fused Pallas stage: blur + FAST + NMS from one HBM read
             score, smooth = fast_pallas.detect_and_smooth(
                 lv_img, float(fast_threshold), gaussian_ksize)
         else:
             smooth = pyramid.gaussian_blur(lv_img, gaussian_ksize)
-            score = _detect(lv_img, fast_threshold)
+            score = (fast_pallas.detect(lv_img, float(fast_threshold))
+                     if on_tpu else fast.detect(lv_img, fast_threshold))
         kps = select.select_gridded(score, budget, cells_x, cells_y, per_cell)
         angles, desc = orb.orient_and_describe(smooth, kps.uv,
                                                use_orientation)

@@ -18,7 +18,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# MAGESLAM_TEST_PLATFORM=tpu runs the suite against real TPU hardware
+# (enables the TPU-gated bit-exactness tests); default is the virtual
+# 8-device CPU mesh.
+if os.environ.get("MAGESLAM_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

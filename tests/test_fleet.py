@@ -56,7 +56,7 @@ class TestFleet:
         fleet, worlds, trajs, cal = fleet_run
         from mageslam_tpu.ops import pyramid
 
-        st, step = de.make_engine(fast_settings(), cal)
+        st, step, _ = de.make_engine(fast_settings(), cal)
         key0 = jax.random.split(jax.random.key(3), 8)[0]
         st = st._replace(key=key0)
         outs = []

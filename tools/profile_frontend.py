@@ -48,7 +48,7 @@ def main():
     sm = smooth(img)
     oad = jax.jit(lambda i, uv: orb.orient_and_describe(i, uv, False))
     ef = jax.jit(lambda i: extract_features(
-        img, cal, 20.0, max_features=320, num_levels=1))
+        i, cal, 20.0, max_features=320, num_levels=1))
 
     print(f"image {img.shape} on {jax.devices()[0].platform}")
     print(f"gaussian_blur      {timeit(smooth, img):7.3f} ms")
