@@ -27,12 +27,44 @@ from mageslam_tpu.geometry.camera import CameraCalibration
 import jax.numpy as jnp
 
 
+def _value_noise(px: np.ndarray, py: np.ndarray, scale: float,
+                 salt: float) -> np.ndarray:
+    """Deterministic aperiodic value noise over world coords (bilinear
+    interpolation of hashed lattice values, smoothstep-weighted)."""
+    x, y = px / scale, py / scale
+    i, j = np.floor(x), np.floor(y)
+    fx, fy = x - i, y - j
+    fx = fx * fx * (3.0 - 2.0 * fx)
+    fy = fy * fy * (3.0 - 2.0 * fy)
+
+    def h(a, b):
+        v = np.sin(a * 12.9898 + b * 78.233 + salt) * 43758.5453
+        return v - np.floor(v)
+
+    return (h(i, j) * (1 - fx) * (1 - fy) + h(i + 1, j) * fx * (1 - fy)
+            + h(i, j + 1) * (1 - fx) * fy + h(i + 1, j + 1) * fx * fy)
+
+
+def _surface_texture(px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Aperiodic multi-octave texture for background surfaces.  A periodic
+    (plane-wave) texture aliases under prior-guided radius matching — the
+    tracker can lock onto a shifted repeat and drag the pose — which real
+    scenes don't do; value noise has no repeats."""
+    t = (0.55 * _value_noise(px, py, 2.3, 0.0)
+         + 0.30 * _value_noise(px, py, 0.83, 5.1)
+         + 0.15 * _value_noise(px, py, 0.31, 11.7))
+    return (18.0 + 72.0 * t).astype(np.float32)
+
+
 @dataclass
 class SyntheticWorld:
     points: np.ndarray       # (P, 3) world points
     intensities: np.ndarray  # (P,) point brightness
     sizes: np.ndarray        # (P,) splat half-size in px at depth 1
     tex_grid: np.ndarray     # (P, G, G) per-point binary texture pattern
+    normals: np.ndarray = None  # (P, 3) patch plane normals (default +z)
+    bg: str = "plane"           # background surface: "plane" | "cylinder"
+    bg_radius: float = 30.0     # cylinder radius (bg == "cylinder")
 
     GRID = 5
 
@@ -54,9 +86,58 @@ class SyntheticWorld:
                               sizes.astype(np.float32),
                               grid)
 
+    @staticmethod
+    def create_ring(num_points: int = 900, seed: int = 7,
+                    r_in: float = 6.0, r_out: float = 9.0,
+                    height: float = 3.0) -> "SyntheticWorld":
+        """Points in an annulus around the origin with patch normals facing
+        inward — a 'room wall' a loop trajectory can circle inside.  Only a
+        sector is visible from any one view pose, so opposite sides of the
+        loop are non-covisible (the loop-closure precondition)."""
+        rng = np.random.default_rng(seed)
+        ang = rng.uniform(0.0, 2 * np.pi, num_points)
+        rad = rng.uniform(r_in, r_out, num_points)
+        pts = np.stack([rad * np.cos(ang),
+                        rng.uniform(-height, height, num_points),
+                        rad * np.sin(ang)], -1)
+        normals = -np.stack([np.cos(ang), np.zeros(num_points),
+                             np.sin(ang)], -1)
+        inten = rng.uniform(150.0, 250.0, size=num_points)
+        sizes = rng.uniform(8.0, 16.0, size=num_points)
+        G = SyntheticWorld.GRID
+        grid = (rng.random((num_points, G, G)) > 0.45).astype(np.float32)
+        grid[:, G // 2, G // 2] = 1.0
+        return SyntheticWorld(pts.astype(np.float32),
+                              inten.astype(np.float32),
+                              sizes.astype(np.float32),
+                              grid, normals.astype(np.float32),
+                              bg="cylinder", bg_radius=r_out + 2.0)
+
+    @staticmethod
+    def create_planar(num_points: int = 500, seed: int = 7,
+                      extent=(6.0, 4.0), depth: float = 6.0
+                      ) -> "SyntheticWorld":
+        """All points on one fronto-parallel wall plane z=depth — the
+        degenerate configuration for the 8-point essential matrix (the
+        reason the reference grafts Nistér 5-point,
+        Tracking/ComputeEssential.cpp:1-10)."""
+        rng = np.random.default_rng(seed)
+        pts = np.stack([rng.uniform(-extent[0], extent[0], num_points),
+                        rng.uniform(-extent[1], extent[1], num_points),
+                        np.full(num_points, depth)], -1)
+        inten = rng.uniform(150.0, 250.0, size=num_points)
+        sizes = rng.uniform(8.0, 16.0, size=num_points)
+        G = SyntheticWorld.GRID
+        grid = (rng.random((num_points, G, G)) > 0.45).astype(np.float32)
+        grid[:, G // 2, G // 2] = 1.0
+        return SyntheticWorld(pts.astype(np.float32),
+                              inten.astype(np.float32),
+                              sizes.astype(np.float32),
+                              grid)
+
     def render(self, cal: CameraCalibration, pose7: np.ndarray,
                noise: float = 1.0, seed: int = 0,
-               bg_depth: float = 30.0) -> np.ndarray:
+               bg_depth: float = 30.0, return_depth: bool = False):
         """Render the world from a view pose as (H, W) float32.
 
         The background is a textured plane at world z = bg_depth so that
@@ -70,7 +151,7 @@ class SyntheticWorld:
         t = np.asarray(pose7[4:], np.float64)
         R = np.asarray(se3.quat_to_mat(jnp.asarray(q, jnp.float32)))
 
-        # background plane: cast rays to z=bg_depth, sample procedural tex
+        # background surface: cast rays to it, sample procedural texture
         fx, fy = float(cal.fx), float(cal.fy)
         cx, cy = float(cal.cx), float(cal.cy)
         vv, uu = np.mgrid[0:h, 0:w]
@@ -78,14 +159,29 @@ class SyntheticWorld:
                          np.ones_like(uu, np.float64)], -1)
         rays_w = rays @ R  # R^T applied row-wise
         c = -R.T @ t
-        tt = (bg_depth - c[2]) / np.maximum(rays_w[..., 2], 1e-6)
-        px = c[0] + tt * rays_w[..., 0]
-        py = c[1] + tt * rays_w[..., 1]
-        img = (46.0 + 16.0 * np.sin(0.53 * px + 1.21 * py)
-               + 13.0 * np.sin(1.87 * px - 0.77 * py + 1.3)
-               + 9.0 * np.sin(3.1 * px + 2.3 * py + 4.0)
-               + 6.0 * np.sin(6.7 * px - 4.9 * py + 2.2)).astype(np.float32)
+        if self.bg == "cylinder":
+            # vertical cylinder |x,z| = bg_radius around the origin: the
+            # view-consistent backdrop for 360-degree loop trajectories
+            # (a plane is only consistent when viewing roughly along +z)
+            Rcyl = float(self.bg_radius)
+            dx, dz = rays_w[..., 0], rays_w[..., 2]
+            a = dx * dx + dz * dz
+            b = 2.0 * (c[0] * dx + c[2] * dz)
+            cc = c[0] * c[0] + c[2] * c[2] - Rcyl * Rcyl
+            disc = np.maximum(b * b - 4 * a * cc, 0.0)
+            tt = (-b + np.sqrt(disc)) / np.maximum(2 * a, 1e-9)
+            hx = c[0] + tt * dx
+            hz = c[2] + tt * dz
+            px = np.arctan2(hz, hx) * Rcyl  # unrolled azimuth
+            py = c[1] + tt * rays_w[..., 1]
+        else:
+            tt = (bg_depth - c[2]) / np.maximum(rays_w[..., 2], 1e-6)
+            px = c[0] + tt * rays_w[..., 0]
+            py = c[1] + tt * rays_w[..., 1]
+        img = _surface_texture(px, py)
         img += rng.normal(0.0, noise, size=(h, w)).astype(np.float32)
+        # camera-frame depth: rays have z=1 in camera coords, so depth=tt
+        depth = tt.astype(np.float32)
         # splats are true world-space planar patches (normal +z, side
         # length = sizes/40 world units): every texture corner is a fixed
         # 3D point, so multi-view geometry is exact (billboards would
@@ -100,16 +196,29 @@ class SyntheticWorld:
         side = self.sizes / 40.0           # world half-side
         G = SyntheticWorld.GRID
 
+        # per-point patch frame (e1, e2, n); default n=+z reproduces the
+        # original axis-aligned-plane math exactly
+        if self.normals is None:
+            normals = np.broadcast_to(np.array([0.0, 0.0, 1.0]),
+                                      self.points.shape)
+        else:
+            normals = self.normals
         order = np.argsort(-z)  # far first
         for i in order:
             if not vis[i]:
                 continue
-            pz = self.points[i]
+            pz = self.points[i].astype(np.float64)
             s_half = side[i]
+            n = normals[i].astype(np.float64)
+            n = n / np.linalg.norm(n)
+            up_ref = np.array([0.0, 1.0, 0.0]) \
+                if abs(n[1]) < 0.9 else np.array([1.0, 0.0, 0.0])
+            e1 = np.cross(up_ref, n)
+            e1 /= np.linalg.norm(e1)
+            e2 = np.cross(n, e1)
             # project the 4 patch corners for the pixel bounding box
-            corners = pz[None, :] + np.array(
-                [[-s_half, -s_half, 0], [s_half, -s_half, 0],
-                 [-s_half, s_half, 0], [s_half, s_half, 0]])
+            corners = pz[None, :] + s_half * np.array(
+                [[-1, -1], [1, -1], [-1, 1], [1, 1]]) @ np.stack([e1, e2])
             ccam = corners @ R.T + t
             if np.any(ccam[:, 2] < 0.2):
                 continue
@@ -121,16 +230,15 @@ class SyntheticWorld:
                 min(int(np.ceil(cv.max())) + 1, h)
             if xs1 <= xs0 or ys1 <= ys0:
                 continue
-            # ray-plane intersection with plane z_world = pz[2]
-            yy, xx = np.mgrid[ys0:ys1, xs0:xs1]
+            # ray-plane intersection with the patch plane (pz, n)
             rw = rays_w[ys0:ys1, xs0:xs1]
-            denom = rw[..., 2]
-            tt_i = (pz[2] - c[2]) / np.where(np.abs(denom) < 1e-9, 1e-9,
-                                             denom)
-            wx = c[0] + tt_i * rw[..., 0]
-            wy = c[1] + tt_i * rw[..., 1]
-            un = (wx - pz[0]) / (2 * s_half) + 0.5
-            vn = (wy - pz[1]) / (2 * s_half) + 0.5
+            denom = rw @ n
+            tt_i = np.dot(pz - c, n) / np.where(np.abs(denom) < 1e-9, 1e-9,
+                                                denom)
+            X = c[None, None, :] + tt_i[..., None] * rw
+            dX = X - pz
+            un = (dX @ e1) / (2 * s_half) + 0.5
+            vn = (dX @ e2) / (2 * s_half) + 0.5
             inside = (un >= 0) & (un < 1) & (vn >= 0) & (vn < 1) & (tt_i > 0)
             if not inside.any():
                 continue
@@ -140,6 +248,10 @@ class SyntheticWorld:
             tex = self.intensities[i] * (0.12 + 0.88 * cell)
             patch = img[ys0:ys1, xs0:xs1]
             img[ys0:ys1, xs0:xs1] = np.where(inside, tex, patch)
+            depth[ys0:ys1, xs0:xs1] = np.where(
+                inside, tt_i.astype(np.float32), depth[ys0:ys1, xs0:xs1])
+        if return_depth:
+            return np.clip(img, 0.0, 255.0), depth
         return np.clip(img, 0.0, 255.0)
 
 
@@ -174,6 +286,46 @@ def orbit_trajectory(num_frames: int, radius: float = 0.8,
         q = np.asarray(se3.mat_to_quat(jnp.asarray(Rcw, jnp.float32)))
         poses.append(np.concatenate([q, t]))
     return np.asarray(poses, np.float32)
+
+
+def loop_trajectory(num_frames: int, radius: float = 3.0,
+                    fraction: float = 1.12, bob: float = 0.08,
+                    look_ahead: float = 0.55) -> np.ndarray:
+    """(T, 7) view poses circling the origin (inside a ring world), facing
+    mostly tangent (slightly toward the wall ahead).  ``fraction`` > 1
+    re-visits the start sector after a full revolution — the classic
+    loop-closure trajectory.  ``bob`` adds gentle vertical motion so
+    triangulation sees vertical parallax too."""
+    poses = []
+    for i in range(num_frames):
+        th = 2 * np.pi * fraction * i / max(num_frames - 1, 1)
+        c = np.array([radius * np.cos(th),
+                      bob * np.sin(3.0 * th),
+                      radius * np.sin(th)])
+        tangent = np.array([-np.sin(th), 0.0, np.cos(th)])
+        outward = np.array([np.cos(th), 0.0, np.sin(th)])
+        fwd = tangent + look_ahead * outward
+        fwd /= np.linalg.norm(fwd)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        upv = np.cross(fwd, right)
+        Rcw = np.stack([right, upv, fwd])
+        t = -Rcw @ c
+        q = np.asarray(se3.mat_to_quat(jnp.asarray(Rcw, jnp.float32)))
+        poses.append(np.concatenate([q, t]))
+    return np.asarray(poses, np.float32)
+
+
+def occlusion_frame(cal: CameraCalibration, seed: int = 0,
+                    level: float = 30.0) -> np.ndarray:
+    """A featureless 'lens covered' frame (uniform + sensor noise): the
+    frontend finds ~no corners, so tracking fails — the stimulus for the
+    SKIPPED -> RELOCALIZING failure path (Runtime.cpp:271-301)."""
+    rng = np.random.default_rng(seed)
+    img = np.full((cal.height, cal.width), level, np.float32)
+    img += rng.normal(0.0, 1.5, size=img.shape).astype(np.float32)
+    return np.clip(img, 0.0, 255.0)
 
 
 def render_sequence(world: SyntheticWorld, cal: CameraCalibration,

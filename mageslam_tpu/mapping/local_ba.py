@@ -60,8 +60,14 @@ def build_local_window(m: ms.MapState, center_kf,
     sel_kf = jnp.zeros(K + 1, bool).at[
         jnp.where(win_valid, win_idx, K)].set(True)[:K]
     pt_mask = jnp.any(mem & sel_kf[:, None], axis=0)
-    # stable selection: observed points first (ascending id)
-    order = jnp.argsort(~pt_mask)
+    # selection when over capacity: points observed by the CENTER keyframe
+    # first (its fresh triangulations are the ones BA must refine — losing
+    # them to the cap re-opens the scale-drift feedback loop), then the
+    # rest of the window's points, newest first within each class
+    center_obs = mem[center_kf] & pt_mask
+    prio = jnp.where(center_obs, 2, jnp.where(pt_mask, 1, 0)) * (L + 1) \
+        + jnp.arange(L)
+    order = jnp.argsort(-prio)
     mp_list = order[:LB].astype(jnp.int32)
     mp_list_valid = pt_mask[mp_list]
 

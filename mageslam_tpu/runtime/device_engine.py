@@ -330,8 +330,14 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
     # tracking/mapping interleave inside one compiled program.
     # ------------------------------------------------------------------
     K_total = cap.max_keyframes
-    ba_per_run = max(int(s.bundle_adjust.num_steps_per_run), 1)
-    ba_total = max(int(s.bundle_adjust.num_steps) * 4, 4)
+    # IterateBA budget (MappingWorker.cpp:330-372): the reference keeps
+    # iterating LM between tracking reads until the error floor or new
+    # pending work; here each engine step advances the window by
+    # ba_per_run LM steps (~4/frame => ~16 per keyframe interval), capped
+    # at ba_total.  Under-iterating collapses scale on exploratory paths
+    # (un-converged depths bias pose toward rotation -> feedback loop).
+    ba_per_run = max(int(s.bundle_adjust.num_steps_per_run), 1) * 4
+    ba_total = max(10 * ba_per_run, 40)
     mse_floor = float(s.bundle_adjust.min_mean_square_error) * px * px
 
     def _rebase_prior(st: EngineState, before, after) -> EngineState:
@@ -499,7 +505,18 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
 
                 def close(st):
                     before = st.map.kf_pose[slot]
-                    m = lc.apply_similarity_correction(st.map, slot, det)
+                    if s.loop_closure.use_pose_graph:
+                        # essential-graph Sim3 relaxation: propagate the
+                        # correction through the whole trajectory instead
+                        # of rigidly moving only the covisible set
+                        m = lc.pose_graph_loop_correction(
+                            st.map, slot, det,
+                            num_steps=int(s.loop_closure.pose_graph_steps),
+                            min_covis=int(
+                                s.loop_closure.pose_graph_min_covis))
+                    else:
+                        m = lc.apply_similarity_correction(st.map, slot,
+                                                           det)
                     m = lc.merge_loop_points(m, slot, det, cal,
                                              s.loop_closure)
                     ba = s.loop_closure.bundle_adjust
@@ -582,7 +599,6 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
             # iterated (the interleaved-BA pipeline above).
             mapping_idle = (st.pend_count == 0) & ~st.ba_active
             mem_ref = jnp.sum(ms.member_matrix(m)[ref_kf])
-            overlap = tres.num_inliers / jnp.maximum(mem_ref, 1)
             cam_c = se3.camera_center(pose)
             ref_c = se3.camera_center(m.kf_pose[ref_kf])
             ydep = se3.pose_apply(pose[None], m.mp_pos)[:, 2]
@@ -591,19 +607,40 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
             min_depth = jnp.where(jnp.isfinite(min_depth), min_depth, 1.0)
             moved = jnp.linalg.norm(cam_c - ref_c) \
                 >= s.keyframe.min_frame_move_to_min_depth_ratio * min_depth
-            cadence = (st.frames_since_kf >= s.keyframe.min_frame_count) \
-                | (mapping_idle & (st.frames_since_kf >= 1))
-            cadence &= st.frames_since_reloc \
-                >= s.keyframe.min_frame_count_reloc
-            idle_insert = mapping_idle & (
-                overlap <= s.keyframe.mapping_max_tracking_point_overlap)
-            overlap_ok = (overlap <= s.keyframe.max_tracking_point_overlap) \
-                | moved | idle_insert
-            want_kf = (tres.num_inliers
-                       >= s.keyframe.min_tracking_point_count) \
-                & (tres.num_matched
-                   <= s.keyframe.max_tracking_point_matches) \
-                & cadence & overlap_ok
+            # DenslyConnected (NewKeyFrameDecision.cpp:67-114): grid
+            # coverage of the TRACKED keypoints; dense coverage means no
+            # urgency to map this view
+            pc = s.mono.camera
+            gw, gh = (pc.keyframe_decision_grid_width,
+                      pc.keyframe_decision_grid_height)
+            tracked = tres.assoc >= 0
+            gx = jnp.clip((feats.uv[:, 0] * gw / cal.width)
+                          .astype(jnp.int32), 0, gw - 1)
+            gy = jnp.clip((feats.uv[:, 1] * gh / cal.height)
+                          .astype(jnp.int32), 0, gh - 1)
+            counts = jnp.zeros(gw * gh, jnp.int32).at[
+                gx * gh + gy].add(tracked.astype(jnp.int32))
+            empty_pct = jnp.mean(
+                (counts
+                 < pc.keyframe_decision_min_map_points_per_grid_cell)
+                .astype(jnp.float32))
+            dense = empty_pct \
+                <= pc.keyframe_decision_allowed_empty_cell_percentage
+            # IsNewKeyFrame gate chain (NewKeyFrameDecision.cpp:153-202);
+            # mapping_idle is a REAL signal here: no pending keyframes and
+            # no window being iterated (the interleaved-BA pipeline above)
+            cadence = (st.frames_since_reloc
+                       > s.keyframe.min_frame_count_reloc) \
+                & (mapping_idle
+                   | (st.frames_since_kf > s.keyframe.min_frame_count))
+            count_ok = (tres.num_inliers
+                        > s.keyframe.min_tracking_point_count) \
+                & (tres.num_inliers
+                   < s.keyframe.max_tracking_point_matches)
+            overlap_ok = tres.num_inliers \
+                < (mem_ref * s.keyframe.max_tracking_point_overlap
+                   + s.keyframe.min_tracking_point_count)
+            want_kf = cadence & count_ok & (moved | ~dense) & overlap_ok
 
             st = jax.lax.cond(
                 want_kf,

@@ -45,6 +45,7 @@ from mageslam_tpu.tracking.frontend import extract_for_settings
 from mageslam_tpu.utils.mediator import (AnalysisCompleted, HistoryUpdated,
                                           InitCompleted, Mediator,
                                           PoseRefined, TrackingLost)
+from mageslam_tpu.tracking import keyframe_decision
 from mageslam_tpu.tracking.keyframe_decision import (KeyframeDecisionInputs,
                                                      should_add_keyframe)
 
@@ -241,6 +242,10 @@ class MageSlamTPU(SensorFacadeMixin):
     def num_map_points(self) -> int:
         return int(jnp.sum(self._map.mp_valid))
 
+    @property
+    def loops_closed(self) -> int:
+        return self._loops_closed
+
     # ------------------------------------------------------------------
     # initialization (InitializationWorker.cpp:40-95)
     # ------------------------------------------------------------------
@@ -361,6 +366,14 @@ class MageSlamTPU(SensorFacadeMixin):
         depths = jnp.where(tres.found_mp_mask & (y[:, 2] > 0), y[:, 2],
                            jnp.inf)
         min_depth = float(jnp.min(depths))
+        pc = s.mono.camera
+        dense = keyframe_decision.densely_connected(
+            np.asarray(feats.uv), np.asarray(tres.assoc >= 0),
+            self.cal.width, self.cal.height,
+            pc.keyframe_decision_grid_width,
+            pc.keyframe_decision_grid_height,
+            pc.keyframe_decision_min_map_points_per_grid_cell,
+            pc.keyframe_decision_allowed_empty_cell_percentage)
         decision = should_add_keyframe(s.keyframe, KeyframeDecisionInputs(
             frames_since_keyframe=self._frames_since_kf,
             frames_since_reloc=self._frames_since_reloc,
@@ -370,6 +383,7 @@ class MageSlamTPU(SensorFacadeMixin):
             mapping_idle=True,  # synchronous mapping: always idle
             motion_distance=float(jnp.linalg.norm(cam_c - ref_c)),
             min_scene_depth=min_depth if np.isfinite(min_depth) else 1.0,
+            densely_connected=dense,
         ))
         prev_for_model = self._pose_prev
         if decision:
@@ -551,14 +565,31 @@ class MageSlamTPU(SensorFacadeMixin):
                 cv.covis_min_threshold,
                 self._covis_threshold - cv.covis_ba_step_threshold)
 
+        # IterateBA (MappingWorker.cpp:330-372): the reference runs LM in
+        # NumSteps-sized chunks and KEEPS ITERATING until the error floor
+        # is reached (or new keyframes queue up).  Under-iterating here is
+        # catastrophic: un-converged point depths bias the next frame's
+        # pose toward rotation, whose error biases the next triangulation
+        # — a scale-collapse feedback loop on exploratory trajectories.
         from mageslam_tpu.solvers.bundle_adjust import bundle_adjust
-        steps = max(int(s.bundle_adjust.num_steps) * 4, 4)
-        res = bundle_adjust(
-            win.problem,
-            jnp.float32(s.bundle_adjust.huber_width * px),
-            jnp.float32(s.bundle_adjust.max_outlier_error * px),
-            num_steps=steps,
-            lam0=self._lam if s.mapping.persist_lambda else 1e-4)
+        chunk = max(int(s.bundle_adjust.num_steps_per_run), 1) * 4
+        max_total = max(10 * chunk, 40)
+        mse_floor = float(s.bundle_adjust.min_mean_square_error) * px * px
+        lam = self._lam if s.mapping.persist_lambda else 1e-4
+        problem = win.problem
+        res = None
+        for _ in range(max_total // chunk):
+            res = bundle_adjust(
+                problem,
+                jnp.float32(s.bundle_adjust.huber_width * px),
+                jnp.float32(s.bundle_adjust.max_outlier_error * px),
+                num_steps=chunk, lam0=lam)
+            problem = problem._replace(kf_poses=res.kf_poses,
+                                       points=res.points)
+            lam = res.lam
+            if float(res.mean_sq_error) <= mse_floor:
+                break
+        win = win._replace(problem=problem)
         if s.mapping.persist_lambda:
             self._lam = max(float(res.lam), s.mapping.min_lambda)
         self._map = local_ba.apply_window_result(self._map, win, res)

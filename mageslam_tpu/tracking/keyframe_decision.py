@@ -28,37 +28,53 @@ class KeyframeDecisionInputs:
     mapping_idle: bool
     motion_distance: float       # |camera center - ref kf center|
     min_scene_depth: float       # nearest tracked point depth
+    densely_connected: bool = True  # tracked-keypoint grid coverage dense
+
+
+def densely_connected(uv: np.ndarray, tracked_mask: np.ndarray,
+                      width: int, height: int, grid_w: int, grid_h: int,
+                      min_per_cell: int, allowed_empty_pct: float) -> bool:
+    """NewKeyFrameDecision::DenslyConnected (NewKeyFrameDecision.cpp:67-
+    114): bin the TRACKED keypoints into a grid; the frame counts as
+    densely connected when the fraction of under-filled cells is at most
+    allowed_empty_pct (dense coverage => no urgency to map this view)."""
+    uv = np.asarray(uv)[np.asarray(tracked_mask)]
+    if uv.size == 0:
+        return False
+    gx = np.clip((uv[:, 0] * grid_w / width).astype(int), 0, grid_w - 1)
+    gy = np.clip((uv[:, 1] * grid_h / height).astype(int), 0, grid_h - 1)
+    counts = np.zeros((grid_w, grid_h), np.int32)
+    np.add.at(counts, (gx, gy), 1)
+    empty_pct = np.mean(counts < min_per_cell)
+    return bool(empty_pct <= allowed_empty_pct)
 
 
 def should_add_keyframe(s: KeyframeSettings,
                         x: KeyframeDecisionInputs) -> bool:
-    """True when the current frame should be promoted to a keyframe."""
-    # hard gates
-    if x.num_tracked_points < s.min_tracking_point_count:
-        return False
-    if x.num_matches > s.max_tracking_point_matches:
-        return False
+    """True when the current frame should be promoted to a keyframe.
 
-    # cadence gate: enough frames passed, or mapping is idle
-    cadence_ok = (x.frames_since_keyframe >= s.min_frame_count
-                  or (x.mapping_idle and x.frames_since_keyframe >= 1))
-    if x.frames_since_reloc < s.min_frame_count_reloc:
-        cadence_ok = False
-    if not cadence_ok:
+    Mirrors NewKeyFrameDecision::IsNewKeyFrame exactly
+    (NewKeyFrameDecision.cpp:153-202):
+      1. enough frames since the last relocalization,
+      2. mapping idle OR enough frames since the last keyframe,
+      3. min < tracked points < max,
+      4. moved enough relative to the scene OR grid coverage has holes,
+      5. tracked < ref_count * max_overlap + min_count (paper V-E overlap).
+    """
+    if x.frames_since_reloc <= s.min_frame_count_reloc:
         return False
-
-    # overlap gate: the frame must track less than max_tracking_point_overlap
-    # of the reference keyframe's points (paper V-E), OR have moved enough
-    # relative to the scene (min_frame_move_to_min_depth_ratio), OR mapping
-    # is idle and the view has at least drifted below the mapping overlap
-    # bound (the reference's idle-mapping insertion path)
-    overlap = (x.num_tracked_points / max(x.ref_kf_point_count, 1))
+    if not (x.mapping_idle
+            or x.frames_since_keyframe > s.min_frame_count):
+        return False
+    if x.num_tracked_points <= s.min_tracking_point_count:
+        return False
+    if x.num_tracked_points >= s.max_tracking_point_matches:
+        return False
     moved_enough = (x.motion_distance
                     >= s.min_frame_move_to_min_depth_ratio
                     * max(x.min_scene_depth, 1e-6))
-    idle_insert = (x.mapping_idle
-                   and overlap <= s.mapping_max_tracking_point_overlap)
-    if (overlap > s.max_tracking_point_overlap and not moved_enough
-            and not idle_insert):
+    if not moved_enough and x.densely_connected:
         return False
-    return True
+    return x.num_tracked_points < (x.ref_kf_point_count
+                                   * s.max_tracking_point_overlap
+                                   + s.min_tracking_point_count)

@@ -24,6 +24,13 @@ import jax  # noqa: E402
 if os.environ.get("MAGESLAM_TEST_PLATFORM", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the big fused-engine programs dominate suite
+# time; cache them across runs (keyed on HLO, safe across code edits)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,127 @@
+"""End-to-end loop closure + relocalization through the fused engine.
+
+The reference exercises these paths live (LoopClosureWorker.cpp:90-210
+AttemptLoopClosure per keyframe; PoseEstimationWorker.cpp:74-97 lost-mode
+BoW relocalization).  Here a ring-world loop trajectory is driven through
+MageSlamTPUFused and must actually close a loop; an occluded segment must
+push tracking through SKIPPED -> RELOCALIZING and recover.
+"""
+
+import numpy as np
+import pytest
+
+from mageslam_tpu.io.evaluation import ate_rmse
+from mageslam_tpu.io.synthetic import (SyntheticWorld, default_calibration,
+                                       loop_trajectory, occlusion_frame)
+from mageslam_tpu.runtime.fused import MageSlamTPUFused
+from mageslam_tpu.runtime.slam import TrackingState
+
+from test_slam_e2e import fast_settings
+
+N_LOOP = 150
+
+
+def loop_settings():
+    s = fast_settings()
+    lc = s.loop_closure.__class__(
+        enable_loop_closure=True, min_keyframe=10, min_cluster_size=2,
+        min_feature_matches=25,
+        bundle_adjust=s.loop_closure.bundle_adjust)
+    return s.replace(loop_closure=lc)
+
+
+def _drive(settings, imgs):
+    cal = default_calibration()
+    eng = MageSlamTPUFused(settings, cal, seed=1)
+    for i, img in enumerate(imgs):
+        eng.process_frame(img, timestamp=i / 30.0)
+    results = eng.flush()
+    fossil = eng.fossilize()
+    return eng, results, fossil
+
+
+def _ate(results, fossil, poses_gt):
+    est, gt = [], []
+    for i in range(len(poses_gt)):
+        r = results.get(i)
+        if r is not None and r.state == TrackingState.TRACKING:
+            p = fossil.pose_for_frame(r.frame_id)
+            if p is not None:
+                est.append(p)
+                gt.append(poses_gt[i])
+    assert len(est) >= 0.5 * len(poses_gt)
+    rmse, _, gt_c = ate_rmse(np.asarray(est), np.asarray(gt))
+    extent = float(np.linalg.norm(gt_c.max(0) - gt_c.min(0)))
+    return rmse, extent
+
+
+@pytest.fixture(scope="module")
+def ring_imgs():
+    world = SyntheticWorld.create_ring(900, seed=5)
+    cal = default_calibration()
+    poses_gt = loop_trajectory(N_LOOP, radius=3.0)
+    imgs = [world.render(cal, p, seed=100 + i)
+            for i, p in enumerate(poses_gt)]
+    return imgs, poses_gt
+
+
+@pytest.fixture(scope="module")
+def loop_run(ring_imgs):
+    imgs, poses_gt = ring_imgs
+    eng, results, fossil = _drive(loop_settings(), imgs)
+    return eng, results, fossil, poses_gt
+
+
+class TestLoopClosureE2E:
+    def test_loop_fires(self, loop_run):
+        eng, results, fossil, poses_gt = loop_run
+        assert eng.loops_closed >= 1
+
+    def test_tracks_through_loop(self, loop_run):
+        eng, results, fossil, poses_gt = loop_run
+        states = [results[i].state for i in range(N_LOOP)]
+        tracked = sum(s == TrackingState.TRACKING for s in states)
+        assert tracked >= 0.75 * N_LOOP
+
+    def test_ate_beats_no_loop_closure(self, loop_run, ring_imgs):
+        """The VERDICT-mandated comparison: post-fossilize ATE with loop
+        closure must beat the identical run without it."""
+        imgs, poses_gt = ring_imgs
+        eng, results, fossil, _ = loop_run
+        rmse_lc, extent = _ate(results, fossil, poses_gt)
+
+        s_off = loop_settings()
+        s_off = s_off.replace(loop_closure=s_off.loop_closure.__class__(
+            enable_loop_closure=False,
+            bundle_adjust=s_off.loop_closure.bundle_adjust))
+        eng2, results2, fossil2 = _drive(s_off, imgs)
+        rmse_off, _ = _ate(results2, fossil2, poses_gt)
+        assert eng2.loops_closed == 0
+        assert rmse_lc <= rmse_off + 1e-6, (rmse_lc, rmse_off)
+        # and the closed-loop trajectory must be decent in absolute terms
+        assert rmse_lc < 0.06 * extent, (rmse_lc, extent)
+
+
+class TestRelocalizationE2E:
+    def test_occlusion_recovery(self, ring_imgs):
+        """Cover the lens for 8 frames mid-run: tracking must degrade to
+        RELOCALIZING (after TrackingLostCountUntilReloc failures) and
+        recover TRACKING shortly after the occlusion lifts."""
+        imgs, poses_gt = ring_imgs
+        cal = default_calibration()
+        n, occ0, occ1 = 70, 42, 50
+        seq = list(imgs[:occ0]) \
+            + [occlusion_frame(cal, seed=i) for i in range(occ1 - occ0)] \
+            + list(imgs[occ1:n])
+        eng, results, fossil = _drive(loop_settings(), seq)
+        states = [results[i].state for i in range(n)]
+        # occluded frames: no poses; lost-mode reached
+        assert TrackingState.RELOCALIZING in states[occ0:occ1 + 2]
+        assert all(s != TrackingState.TRACKING
+                   for s in states[occ0 + 1:occ1])
+        # recovery within 6 frames of the occlusion lifting
+        assert TrackingState.TRACKING in states[occ1:occ1 + 6]
+        # and it keeps tracking afterwards
+        tail = states[occ1 + 6:n]
+        assert sum(s == TrackingState.TRACKING for s in tail) \
+            >= 0.7 * len(tail)
