@@ -121,6 +121,14 @@ class MonoMapInitializationSettings:  # MageSettings.h MonoMapInitializationSett
     min_initial_map_points: int = 40
     min_map_points: int = 60
     min_third_frame_match_percentage: float = 0.5
+    # quality clause of the third-frame confirmation (no reference analog
+    # by name; the reference's 5-point solver + pose-disimilarity gates
+    # make bad bootstraps rarer): a geometrically-bad init draw re-finds
+    # ENOUGH points in the third frame but fits them ~50% worse —
+    # measured 1.31 px^2 tracked MSE for a bad RANSAC draw vs
+    # 0.79-0.90 px^2 for clean ones on the same pair.  Above this bar the
+    # init is discarded and bootstrapping continues on a later pair.
+    third_frame_max_mse_px2: float = 1.1
     feature_covisibility_threshold: float = 0.35
     max_parallax_3d_distance: float = 500.0
     max_parallax_3d_median_distance: float = 20.0
@@ -129,6 +137,12 @@ class MonoMapInitializationSettings:  # MageSettings.h MonoMapInitializationSett
     ba_g2o_steps: int = 5
     ba_huber_width: float = 1.5
     ransac_iterations_for_models: int = 90
+    # H/F dual-model selection (no reference analog by name; the reference
+    # solves planar degeneracy with the grafted Nistér 5-point solver
+    # instead, ComputeEssential.cpp:1-10): reconstruct from the homography
+    # when its truncated transfer score is > this fraction of the combined
+    # H+E score (ORB-SLAM's R_H heuristic)
+    homography_model_ratio: float = 0.45
     max_epipolar_error: float = 3.5
     max_outlier_error: float = 2.5
     amount_ba_can_change_pose: float = 1.65
@@ -226,6 +240,20 @@ class LoopClosureSettings:  # MageSettings.h LoopClosureSettings
     min_keyframe: int = 10
     min_cluster_size: int = 3
     min_feature_matches: int = 0
+    # candidate clusters per detection attempt: the online k-majority
+    # vocabulary's similarity scores discriminate weakly (scores cluster
+    # within ~0.02), so the true revisited sector often ranks 5th-8th —
+    # scanning 8 clusters instead of the reference's effective 4 costs
+    # one extra relocalize batch per keyframe and recovers most of the
+    # ranking loss
+    query_results: int = 8
+    # temporal-consistency gate (no direct reference analog; the
+    # reference's non-covisibility test alone lets a cluster from a few
+    # seconds ago qualify, and with the cluster-pool relocalizer that
+    # produces FALSE loop corrections on plain forward motion): loop
+    # candidates must be at least this many frames older than the
+    # closing keyframe (~3 s at 30 fps)
+    min_frame_gap: int = 90
     bundle_adjust: BundleAdjustSettings = BundleAdjustSettings(
         num_steps=25)  # console.cpp:116-120 loop-closure BA budget
     cheap_loop_closure_matching: OrbMatcherSettings = OrbMatcherSettings()
@@ -273,7 +301,13 @@ class RelocalizationSettings:  # MageSettings.h RelocalizationSettings
     min_brute_force_correspondences: int = 20
     min_radius_match_correspondences: int = 15
     min_map_points: int = 10
-    ransac_inliers_pct_required: float = 0.4
+    # Deviation from the reference default (0.4): our reloc pool is the
+    # candidate's covisible-cluster map points (~2.5x a single keyframe's
+    # associations), so the same true-match count is a smaller fraction of
+    # the pool (measured ~27-30% at the 10-frame-separation recovery the
+    # occlusion e2e exercises); the absolute inlier floor and the
+    # full-local-map re-track verification still gate acceptance.
+    ransac_inliers_pct_required: float = 0.2
     ba_inliers_pct_required: float = 0.4
     ransac_confidence: float = 0.6
     round_robin_iterations: int = 5
@@ -282,7 +316,15 @@ class RelocalizationSettings:  # MageSettings.h RelocalizationSettings
     search_radius: float = 20.0
     max_ba_reprojection_error: float = 8.0
     max_pnp_reprojection_error: float = 8.0
-    matcher: OrbMatcherSettings = OrbMatcherSettings()
+    # Deviation from the reference matcher default (MinHammingDifference=1):
+    # relocalization matches brute-force across wide viewpoint baselines
+    # where our generated-BRIEF descriptors are noisier than trained ORB —
+    # measured precision at 10-frame separation rises 56% -> 68% with an
+    # ambiguity margin of 8-16 while keeping 15+ true matches (the PnP
+    # minimum).  The reference leans on distinctive learned descriptors
+    # instead (PoseEstimator.cpp:219-437).
+    matcher: OrbMatcherSettings = OrbMatcherSettings(
+        min_hamming_difference=8)
 
 
 @dataclass(frozen=True)
@@ -304,9 +346,28 @@ class PosePriorSettings:  # MageSettings.h PosePriorSettings
 
 
 @dataclass(frozen=True)
+class ParallelSettings:
+    """Multi-chip execution (no reference analog — the reference is a
+    single-process library, SURVEY.md §2.2; this is the TPU-native
+    scaling surface, BASELINE.json config 5)."""
+
+    # shard the global-BA landmark blocks over all local devices for
+    # fossilize and (host-engine) loop-closure global BA
+    use_distributed_global_ba: bool = False
+    min_devices: int = 2
+
+
+@dataclass(frozen=True)
 class RuntimeSettings:  # MageSettings.h RuntimeSettings
     tracking_reads_per_loop_detection: int = 2
     tracking_reads_per_loop_closure: int = 30
+    # drop-frame backpressure (Tasks/Runtime.cpp:107-121 OneAtATime): when
+    # frames arrive faster than the pipeline drains, process the LATEST
+    # pending frame and mark the stale ones SKIPPED instead of queueing
+    # unbounded work.  max_pipeline_depth = how many dispatched-but-
+    # unresolved device steps may be outstanding before pacing kicks in.
+    drop_frames_when_busy: bool = False
+    max_pipeline_depth: int = 3
     pose_prior: PosePriorSettings = PosePriorSettings()
 
 
@@ -410,6 +471,7 @@ class MageSlamSettings:  # MageSettings.h MageSlamSettings (container)
     bounding_depth: BoundingDepthSettings = BoundingDepthSettings()
     mapping: MappingSettings = MappingSettings()
     runtime: RuntimeSettings = RuntimeSettings()
+    parallel: ParallelSettings = ParallelSettings()
     fuser: FuserSettings = FuserSettings()
     loop_closure: LoopClosureSettings = LoopClosureSettings()
     volume_of_interest: VolumeOfInterestSettings = VolumeOfInterestSettings()

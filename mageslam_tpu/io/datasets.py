@@ -109,13 +109,11 @@ def _read_yaml(path: Path) -> dict:
 
 def _pose_tq_to_view(t: np.ndarray, q_wxyz: np.ndarray) -> np.ndarray:
     """(N,3) positions + (N,4) w-x-y-z body->world quaternions -> (N,7)
-    view poses in this repo's layout (quat x-y-z-w + translation, world->
-    camera)."""
+    view poses in this repo's layout (quat W-FIRST + translation,
+    world->camera)."""
     w, x, y, z = q_wxyz.T
-    # conjugate = world->body rotation
-    qv = np.stack([-x, -y, -z, w], -1)
-    # rotate -t by view rotation: t_view = -R_view @ t_world
-    xx, yy, zz, ww = qv[:, 0], qv[:, 1], qv[:, 2], qv[:, 3]
+    # conjugate = world->body rotation (vector part negated)
+    xx, yy, zz, ww = -x, -y, -z, w
     R = np.stack([
         1 - 2 * (yy**2 + zz**2), 2 * (xx * yy - ww * zz),
         2 * (xx * zz + ww * yy),
@@ -125,6 +123,7 @@ def _pose_tq_to_view(t: np.ndarray, q_wxyz: np.ndarray) -> np.ndarray:
         1 - 2 * (xx**2 + yy**2),
     ], -1).reshape(-1, 3, 3)
     tv = -np.einsum("nij,nj->ni", R, t)
+    qv = np.stack([ww, xx, yy, zz], -1)   # w-first, repo convention
     return np.concatenate([qv, tv], -1).astype(np.float32)
 
 

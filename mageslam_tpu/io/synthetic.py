@@ -65,6 +65,10 @@ class SyntheticWorld:
     normals: np.ndarray = None  # (P, 3) patch plane normals (default +z)
     bg: str = "plane"           # background surface: "plane" | "cylinder"
     bg_radius: float = 30.0     # cylinder radius (bg == "cylinder")
+    bg_image: np.ndarray = None  # (H, W) real photo texture for the
+    #                              background (io/real_texture.py); None ->
+    #                              procedural value noise
+    bg_image_scale: float = 6.0  # world units per photo width
 
     GRID = 5
 
@@ -178,7 +182,32 @@ class SyntheticWorld:
             tt = (bg_depth - c[2]) / np.maximum(rays_w[..., 2], 1e-6)
             px = c[0] + tt * rays_w[..., 0]
             py = c[1] + tt * rays_w[..., 1]
-        img = _surface_texture(px, py)
+        if self.bg_image is not None:
+            # real-photo background: mirrored-tile bilinear sample over
+            # world coords — real image statistics for FAST/BRIEF
+            th, tw = self.bg_image.shape
+            sx = (px / self.bg_image_scale) * tw
+            sy = (py / self.bg_image_scale) * tw * (th / tw)
+            # mirror-tile
+            def _mirror(v, n):
+                v = np.mod(v, 2 * n)
+                return np.where(v < n, v, 2 * n - 1e-3 - v)
+            gx = _mirror(sx, tw - 1)
+            gy = _mirror(sy, th - 1)
+            x0 = np.floor(gx).astype(int)
+            y0 = np.floor(gy).astype(int)
+            x1 = np.minimum(x0 + 1, tw - 1)
+            y1 = np.minimum(y0 + 1, th - 1)
+            wx = (gx - x0).astype(np.float32)
+            wy = (gy - y0).astype(np.float32)
+            tex = self.bg_image
+            img = (tex[y0, x0] * (1 - wx) * (1 - wy)
+                   + tex[y0, x1] * wx * (1 - wy)
+                   + tex[y1, x0] * (1 - wx) * wy
+                   + tex[y1, x1] * wx * wy)
+            img = img.astype(np.float32)
+        else:
+            img = _surface_texture(px, py)
         img += rng.normal(0.0, noise, size=(h, w)).astype(np.float32)
         # camera-frame depth: rays have z=1 in camera coords, so depth=tt
         depth = tt.astype(np.float32)
@@ -242,9 +271,22 @@ class SyntheticWorld:
             inside = (un >= 0) & (un < 1) & (vn >= 0) & (vn < 1) & (tt_i > 0)
             if not inside.any():
                 continue
-            gi = np.clip((un * G).astype(int), 0, G - 1)
-            gj = np.clip((vn * G).astype(int), 0, G - 1)
-            cell = self.tex_grid[i][gj, gi]
+            # bilinear texture sample: smooth intensity gradients inside
+            # the patch, like real image patches — nearest-neighbor binary
+            # cells made BRIEF bits flip catastrophically under viewpoint
+            # warp (0% gt-consistent brute-force matches at 16 frames
+            # separation), which real ORB imagery does not do
+            gx = np.clip(un * G - 0.5, 0.0, G - 1.000001)
+            gy = np.clip(vn * G - 0.5, 0.0, G - 1.000001)
+            g0x, g0y = np.floor(gx).astype(int), np.floor(gy).astype(int)
+            g1x = np.minimum(g0x + 1, G - 1)
+            g1y = np.minimum(g0y + 1, G - 1)
+            wx, wy = gx - g0x, gy - g0y
+            tg = self.tex_grid[i]
+            cell = (tg[g0y, g0x] * (1 - wx) * (1 - wy)
+                    + tg[g0y, g1x] * wx * (1 - wy)
+                    + tg[g1y, g0x] * (1 - wx) * wy
+                    + tg[g1y, g1x] * wx * wy)
             tex = self.intensities[i] * (0.12 + 0.88 * cell)
             patch = img[ys0:ys1, xs0:xs1]
             img[ys0:ys1, xs0:xs1] = np.where(inside, tex, patch)

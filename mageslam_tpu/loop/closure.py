@@ -60,9 +60,15 @@ def detect_loop(key: jax.Array, m: ms.MapState, db: bdb.BowDatabase,
     cand_idx, scores, cand_ok, clusters = bdb.query_clusters(
         db, m, kf_slot, desc, fvalid,
         covis_threshold=settings.min_cluster_size,
-        max_results=4)
+        max_results=int(settings.query_results))
     # cluster-size gate (MinClusterSize)
     cand_ok &= jnp.sum(clusters, axis=1) >= settings.min_cluster_size
+    # temporal gate: candidates must be genuinely old (config
+    # LoopClosureSettings.min_frame_gap) — non-covisibility alone admits
+    # recent clusters whose physical points were re-triangulated as
+    # duplicates, and "closing" against those corrupts the map
+    gap = m.kf_frame_id[kf_slot] - m.kf_frame_id[cand_idx]
+    cand_ok &= gap > settings.min_frame_gap
 
     feats = FrameFeatures(
         uv=m.kf_uv[kf_slot], xn_undist=m.kf_xn[kf_slot],

@@ -50,10 +50,22 @@ def build_global_problem(m: ms.MapState,
     obs_xn = m.kf_xn[jnp.clip(kf_of_obs, 0, K - 1),
                      jnp.clip(feat_sel, 0, F - 1)]  # (L, M, 2)
 
-    # gauge: fix the oldest valid keyframe (reference fixes the first)
+    # gauge: monocular BA has a SEVEN-dof gauge — one fixed pose pins 6,
+    # but a similarity about that camera's center preserves every
+    # reprojection, so scale is an exact null mode that LM wanders along
+    # (see local_ba.py anchoring note).  Pin exactly the 7th dof with a
+    # stiff DISTANCE tether between the two oldest keyframes: unlike
+    # freezing the second pose, this leaves its direction/rotation free —
+    # freezing both locked the init pair's estimation error in forever
+    # (measured as a U-shaped ATE profile with 0.3-unit error frozen into
+    # the early trajectory).
+    # Freeze the TWO oldest keyframes (frozen baseline = hard scale
+    # gauge; a soft distance tether loses to the summed reprojection
+    # terms at any non-fighting weight — see local_ba.py note).
     fid = jnp.where(m.kf_valid, m.kf_frame_id, jnp.int32(2**30))
-    oldest = jnp.argmin(fid)
-    kf_fixed = (~m.kf_valid) | (jnp.arange(K) == oldest)
+    order_old = jnp.argsort(fid)
+    kf_fixed = (~m.kf_valid) | (jnp.arange(K) == order_old[0]) \
+        | (jnp.arange(K) == order_old[1])
 
     problem = BAProblem(
         kf_poses=m.kf_pose,
@@ -82,4 +94,56 @@ def global_bundle_adjust(m: ms.MapState, huber_delta, max_outlier_error,
     m2 = ms.apply_ba_update(m, win.kf_list, win.kf_list_valid,
                             res.kf_poses, win.mp_list, win.mp_list_valid,
                             res.points)
+    return m2, res
+
+
+def engine_global_bundle_adjust(m: ms.MapState, settings, fx: float,
+                                num_steps: int, lam0,
+                                huber_width_px: float | None = None,
+                                max_outlier_px: float | None = None):
+    """Settings-routed global BA for the engine paths (fossilize, host
+    loop closure): distributed over all local devices when
+    ParallelSettings.use_distributed_global_ba is on and the device count
+    and capacity divisibility allow, single-device otherwise."""
+    px = 1.0 / fx
+    hd = jnp.float32((huber_width_px if huber_width_px is not None
+                      else settings.bundle_adjust.huber_width) * px)
+    moe = jnp.float32((max_outlier_px if max_outlier_px is not None
+                       else settings.graph_optimization.max_outlier_error)
+                      * px)
+    p = settings.parallel
+    if p.use_distributed_global_ba:
+        devs = jax.devices()
+        L = m.mp_valid.shape[0]
+        if len(devs) >= p.min_devices and L % len(devs) == 0:
+            from mageslam_tpu.parallel.distributed_ba import make_mesh
+            return global_bundle_adjust_distributed(
+                m, hd, moe, make_mesh(), num_steps=num_steps, lam0=lam0)
+    return global_bundle_adjust(m, hd, moe, num_steps=num_steps,
+                                lam0=lam0)
+
+
+def global_bundle_adjust_distributed(m: ms.MapState, huber_delta,
+                                     max_outlier_error, mesh,
+                                     num_steps: int = 10, lam0=1e-4,
+                                     max_obs_per_point: int = 12):
+    """Global BA with landmark blocks sharded over a device mesh — the
+    engine-wired entry to parallel/distributed_ba.py (SURVEY.md §2.2,
+    BASELINE.json config 5).  Fossilize and host loop closure route here
+    when ParallelSettings.use_distributed_global_ba is on and the mesh has
+    enough devices.  L (map-point capacity) must divide by the shard
+    count; capacities are powers of two so this holds by construction."""
+    from mageslam_tpu.parallel import distributed_ba as dba
+    win = build_global_problem(m, max_obs_per_point)
+    L = win.problem.points.shape[0]
+    n = mesh.devices.size
+    assert L % n == 0, (L, n)
+    sp = dba.shard_problem(win.problem, mesh)
+    res = dba.distributed_bundle_adjust(
+        sp, jnp.asarray(huber_delta, jnp.float32),
+        jnp.asarray(max_outlier_error, jnp.float32), mesh,
+        num_steps=num_steps, lam0=lam0)
+    m2 = ms.apply_ba_update(m, win.kf_list, win.kf_list_valid,
+                            res.kf_poses, win.mp_list, win.mp_list_valid,
+                            jax.device_get(res.points))
     return m2, res

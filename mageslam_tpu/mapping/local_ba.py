@@ -85,14 +85,28 @@ def build_local_window(m: ms.MapState, center_kf,
     kf_adjustable = jnp.concatenate(
         [win_valid, jnp.zeros(WF, bool)])
 
-    # gauge anchoring: if no valid fixed keyframe, anchor the oldest window
-    # keyframe (lowest frame id) — the reference fixes distant keyframes or
-    # the first keyframe
-    any_fixed = jnp.any(fix_valid)
+    # gauge anchoring: a monocular BA window has a SEVEN-dof gauge — one
+    # fixed pose pins 6 but a similarity about that camera's center leaves
+    # every reprojection invariant, so scale is an exact null mode unless
+    # something else pins it.  Measured on a ground-truth-initialized
+    # window with one fixed camera: LM slid the frontier to 0.37x scale
+    # while the cost FELL; with the gauge pinned it stayed put.  Freeze
+    # the oldest window keyframe (6 dof) and pin the 7th dof with a stiff
+    # DISTANCE tether to the second-oldest — unlike freezing that pose
+    # too, the tether leaves its direction/rotation free to refine.
+    # Freeze the oldest window keyframe, and the second-oldest too when
+    # fewer than 4 distant anchors carry real observation mass (a soft
+    # distance tether was tried instead of the second freeze and lost:
+    # at any weight low enough not to fight real corrections it is
+    # dominated by the summed reprojection terms and scale wanders again
+    # — measured ring ATE 2.12 m with the tether vs 0.12 m frozen).
     fid = jnp.where(win_valid, m.kf_frame_id[win_idx], jnp.int32(2**30))
-    oldest = jnp.argmin(fid)
-    kf_adjustable = kf_adjustable.at[oldest].set(
-        kf_adjustable[oldest] & any_fixed)
+    order_old = jnp.argsort(fid)
+    kf_adjustable = kf_adjustable.at[order_old[0]].set(False)
+    weak_anchoring = jnp.sum(fix_valid) < 4
+    kf_adjustable = kf_adjustable.at[order_old[1]].set(
+        kf_adjustable[order_old[1]] & ~weak_anchoring)
+    tethers = {k: jnp.asarray(v) for k, v in empty_tethers(1).items()}
 
     # --- observation table, landmark-major
     feat_of = ms.feat_index_of_points(m, kf_list)       # (W+WF, L)
@@ -112,7 +126,7 @@ def build_local_window(m: ms.MapState, center_kf,
             jnp.arange(M, dtype=jnp.int32)[None, :], (LB, M)),
         obs_xn=obs_xn.transpose(1, 0, 2),
         obs_valid=obs_valid.T,
-        **{k: jnp.asarray(v) for k, v in empty_tethers(0).items()},
+        **tethers,
     )
     return LocalBAWindow(problem, kf_list, kf_list_valid, kf_adjustable,
                          mp_list, mp_list_valid)

@@ -137,6 +137,72 @@ def feat_index_of_points(m: MapState, kf_list: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(one)(kf_list)
 
 
+@jax.jit
+def refresh_point_representatives(m: MapState) -> MapState:
+    """Recompute each map point's representative descriptor (the medoid of
+    its observations' descriptors) and mean viewing direction — the
+    reference updates both on every association change
+    (Map/MapPoint.cpp:80-131 UpdateRepresentativeDescriptor /
+    UpdateMeanViewDirectionAndDistances).  Without this, point descriptors
+    stay frozen at creation viewpoint and go stale as the camera moves,
+    which silently degrades relocalization and loop detection.
+
+    Batched TPU shape: gather (L, K, 8) observation descriptors via the
+    member matrix, one (L, K, K) popcount for pairwise distances, medoid by
+    masked argmin — a handful of fused elementwise passes per mapping
+    commit instead of the reference's per-association incremental walk."""
+    K, F, L = capacities(m)
+    feat_of = feat_index_of_points(
+        m, jnp.arange(K, dtype=jnp.int32))          # (K, L)
+    obs = (feat_of >= 0) & m.kf_valid[:, None]      # (K, L)
+    fclip = jnp.clip(feat_of, 0, F - 1)
+    desc = m.kf_desc[jnp.arange(K)[:, None], fclip]  # (K, L, 8)
+    desc = desc.transpose(1, 0, 2)                   # (L, K, 8)
+    obs_l = obs.T                                    # (L, K)
+
+    # chunk over landmarks: the (Lc, K, K) pairwise-Hamming block stays
+    # ~64 MB at default capacities instead of a 2 GB (L, K, K) tensor
+    CH = 256
+
+    def chunk_medoid(args):
+        d, o = args                                  # (CH, K, 8), (CH, K)
+        x = jnp.bitwise_xor(d[:, :, None, :], d[:, None, :, :])
+        dm = jnp.sum(jax.lax.population_count(x), -1).astype(jnp.int32)
+        pair_ok = o[:, :, None] & o[:, None, :]
+        sums = jnp.sum(jnp.where(pair_ok, dm, 0), axis=-1)
+        sums = jnp.where(o, sums, jnp.int32(1 << 30))
+        return jnp.argmin(sums, axis=-1)             # (CH,)
+
+    nch = (L + CH - 1) // CH
+    pad = nch * CH - L
+    d_pad = jnp.pad(desc, ((0, pad), (0, 0), (0, 0)))
+    o_pad = jnp.pad(obs_l, ((0, pad), (0, 0)))
+    medoid = jax.lax.map(
+        chunk_medoid,
+        (d_pad.reshape(nch, CH, K, 8), o_pad.reshape(nch, CH, K))
+    ).reshape(-1)[:L]                                # (L,)
+    any_obs = jnp.any(obs_l, axis=-1)
+    new_desc = desc[jnp.arange(L), medoid]
+    mp_desc = jnp.where((m.mp_valid & any_obs)[:, None], new_desc,
+                        m.mp_desc)
+
+    # mean viewing direction: average of unit point->camera... the
+    # reference accumulates normalized camera->point deltas; keep our
+    # existing convention (unit vectors from camera center to point,
+    # matching the angle gate in tracking/track.py)
+    from mageslam_tpu.geometry import se3
+    centers = jax.vmap(se3.camera_center)(m.kf_pose)       # (K, 3)
+    delta = m.mp_pos[None, :, :] - centers[:, None, :]     # (K, L, 3)
+    delta = delta / jnp.maximum(
+        jnp.linalg.norm(delta, axis=-1, keepdims=True), 1e-9)
+    mean = jnp.sum(jnp.where(obs[:, :, None], delta, 0.0), axis=0)  # (L,3)
+    norm = jnp.linalg.norm(mean, axis=-1, keepdims=True)
+    mean = mean / jnp.maximum(norm, 1e-9)
+    mp_normal = jnp.where((m.mp_valid & any_obs & (norm[:, 0] > 1e-6))
+                          [:, None], mean, m.mp_normal)
+    return m._replace(mp_desc=mp_desc, mp_normal=mp_normal)
+
+
 # ---------------------------------------------------------------------------
 # Keyframe insertion / removal
 # ---------------------------------------------------------------------------

@@ -76,6 +76,24 @@ def world_poses(h: PoseHistory, kf_pose: jnp.ndarray,
 
 
 @jax.jit
+def anchor_frame_to_kf(h: PoseHistory, frame_id, kf_slot) -> PoseHistory:
+    """Re-anchor the history entry of a frame PROMOTED to a keyframe onto
+    its own keyframe slot (identity offset).  Without this the promoted
+    frame's trajectory pose forever rides a stale pre-BA offset to the
+    previous reference keyframe — every later BA refinement of the
+    keyframe itself is invisible to the exported trajectory (the
+    reference keeps keyframe-backed poses exact the same way,
+    PoseHistory.cpp:34-52: offsets are relative to the OWN keyframe when
+    one exists)."""
+    hit = h.valid & (h.frame_id == jnp.asarray(frame_id, jnp.int32))
+    ident = jnp.broadcast_to(se3.pose_identity(), h.rel_pose.shape)
+    return h._replace(
+        anchor_kf=jnp.where(hit, jnp.asarray(kf_slot, jnp.int32),
+                            h.anchor_kf),
+        rel_pose=jnp.where(hit[:, None], ident, h.rel_pose))
+
+
+@jax.jit
 def reanchor(h: PoseHistory, kf_pose: jnp.ndarray, kf_valid: jnp.ndarray,
              dead_kf_mask: jnp.ndarray, new_anchor: jnp.ndarray
              ) -> PoseHistory:

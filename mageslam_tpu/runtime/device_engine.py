@@ -90,8 +90,17 @@ class EngineState(NamedTuple):
     ba_steps_left: jnp.ndarray   # int32
     ba_center: jnp.ndarray       # int32 keyframe slot being mapped
     ba_outliers: jnp.ndarray     # (LB, M) bool — last run's outlier obs
+    ba_converged: jnp.ndarray    # bool — last window reached the error
+    #                              floor (stops idle-time polishing)
+    ba_reopened: jnp.ndarray     # bool — current window is an idle-time
+    #                              re-polish (one pass only: when it
+    #                              closes, idle polishing stops until the
+    #                              next keyframe regardless of the floor)
     # scheduler scalars
     initialized: jnp.ndarray     # bool
+    init_probation: jnp.ndarray  # bool — next tracked frame must confirm
+    #                              the init (MinThirdFrameMatchPercentage)
+    init_points: jnp.ndarray     # int32 — map points at init seed
     pose_prev: jnp.ndarray       # (7,)
     pose_prev2: jnp.ndarray      # (7,)
     last_kf: jnp.ndarray         # int32
@@ -116,7 +125,10 @@ def _empty_window(window_size: int, num_fixed: int,
             jnp.arange(M, dtype=jnp.int32)[None], (LB, M)).copy(),
         obs_xn=jnp.zeros((LB, M, 2), jnp.float32),
         obs_valid=jnp.zeros((LB, M), bool),
-        **{k: jnp.asarray(v) for k, v in empty_tethers(0).items()})
+        **{k: jnp.asarray(v) for k, v in empty_tethers(1).items()})
+    #     ^ ONE tether slot: build_local_window emits the scale-gauge
+    #       distance tether, so the empty placeholder window must match
+    #       its pytree structure (engine-state windows are swapped in)
     return local_ba.LocalBAWindow(
         problem, jnp.zeros(M, jnp.int32), jnp.zeros(M, bool),
         jnp.zeros(M, bool), jnp.zeros(LB, jnp.int32), jnp.zeros(LB, bool))
@@ -159,7 +171,11 @@ def empty_state(settings: MageSlamSettings, seed: int = 0) -> EngineState:
         ba_center=jnp.int32(0),
         ba_outliers=jnp.zeros(
             (cap.local_ba_points, cap.local_ba_keyframes + 8), bool),
+        ba_converged=jnp.asarray(False),
+        ba_reopened=jnp.asarray(False),
         initialized=jnp.asarray(False),
+        init_probation=jnp.asarray(False),
+        init_points=jnp.int32(0),
         pose_prev=se3.pose_identity(),
         pose_prev2=se3.pose_identity(),
         last_kf=jnp.int32(0),
@@ -188,13 +204,19 @@ def _reset_slam_state(st: EngineState,
         pend_count=jnp.int32(0),
         ba_active=jnp.asarray(False),
         ba_steps_left=jnp.int32(0),
+        ba_converged=jnp.asarray(False),
+        ba_reopened=jnp.asarray(False),
         initialized=jnp.asarray(False),
+        init_probation=jnp.asarray(False),
+        init_points=jnp.int32(0),
         pose_prev=se3.pose_identity(),
         pose_prev2=se3.pose_identity(),
         last_kf=jnp.int32(0),
         frames_since_kf=jnp.int32(0),
         lost_count=jnp.int32(0),
     )
+    # (init_probation/init_points intentionally included: a reset drops
+    # any pending third-frame confirmation)
 
 
 def _pack_output(code, pose, n_inliers, n_kf, n_mp, loops, is_kf, n_feats):
@@ -308,6 +330,8 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
             return st._replace(
                 map=m, history=h, kf_sig=kf_sig, kf_sig_valid=kf_sig_valid,
                 initialized=jnp.asarray(True),
+                init_probation=jnp.asarray(True),
+                init_points=jnp.sum(created).astype(jnp.int32),
                 pose_prev=ires.pose1, pose_prev2=ires.pose1,
                 last_kf=s1.astype(jnp.int32),
                 frames_since_kf=jnp.int32(0),
@@ -333,11 +357,15 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
     # IterateBA budget (MappingWorker.cpp:330-372): the reference keeps
     # iterating LM between tracking reads until the error floor or new
     # pending work; here each engine step advances the window by
-    # ba_per_run LM steps (~4/frame => ~16 per keyframe interval), capped
-    # at ba_total.  Under-iterating collapses scale on exploratory paths
-    # (un-converged depths bias pose toward rotation -> feedback loop).
-    ba_per_run = max(int(s.bundle_adjust.num_steps_per_run), 1) * 4
-    ba_total = max(10 * ba_per_run, 40)
+    # ba_per_run LM steps, capped at ba_total.  Under-iterating collapses
+    # scale on exploratory paths (un-converged depths bias pose toward
+    # rotation -> feedback loop): measured on the 150-frame ring loop,
+    # 4 steps/frame (~16/window) leaves 2.1 m ATE from scale decay to
+    # ~0.25x, while 8 steps/frame (~32/window) holds scale within 8% all
+    # the way around (0.15 m).  Converged windows stop early at the
+    # mse floor, so the extra budget only costs on fresh geometry.
+    ba_per_run = max(int(s.bundle_adjust.num_steps_per_run), 1) * 8
+    ba_total = max(10 * ba_per_run, 80)
     mse_floor = float(s.bundle_adjust.min_mean_square_error) * px * px
 
     def _rebase_prior(st: EngineState, before, after) -> EngineState:
@@ -422,6 +450,10 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
 
         def do_insert(st):
             m, slot = ms.insert_keyframe(st.map, pose, feats, assoc, fid)
+            # re-anchor the promoted frame's trajectory entry onto its own
+            # keyframe slot (see pose_history.anchor_frame_to_kf)
+            st = st._replace(history=ph.anchor_frame_to_kf(
+                st.history, fid, slot))
             sig = bv.signature(st.vocab, feats.desc, feats.valid)
             kf_sig = st.kf_sig.at[slot].set(sig)
             kf_sig_valid = st.kf_sig_valid.at[slot].set(st.bow_trained)
@@ -462,7 +494,9 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
                 ba_window=win, ba_active=jnp.asarray(True),
                 ba_steps_left=jnp.int32(ba_total),
                 ba_center=slot.astype(jnp.int32),
-                ba_outliers=jnp.zeros_like(st.ba_outliers))
+                ba_outliers=jnp.zeros_like(st.ba_outliers),
+                ba_converged=jnp.asarray(False),
+                ba_reopened=jnp.asarray(False))
 
         can_insert = jnp.sum(st.map.kf_valid) < K_total
         return jax.lax.cond(can_insert, do_insert, lambda s: s, st)
@@ -489,7 +523,10 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
         targets = ph.nearest_valid_kf(m.kf_valid, dead,
                                       st.history.anchor_kf)
         h = ph.reanchor(st.history, m.kf_pose, m.kf_valid, dead, targets)
-        st = st._replace(map=cres.map, history=h,
+        # representative-descriptor + viewing-direction refresh
+        # (MapPoint.cpp:80-131) once per mapping commit
+        m_fresh = ms.refresh_point_representatives(cres.map)
+        st = st._replace(map=m_fresh, history=h,
                          kf_sig_valid=st.kf_sig_valid & ~dead,
                          ba_active=jnp.asarray(False),
                          ba_steps_left=jnp.int32(0))
@@ -552,20 +589,64 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
             kf_poses=res.kf_poses, points=res.points))
         before = st.map.kf_pose[st.ba_center]
         m = local_ba.apply_window_result(st.map, win, res)
-        st = st._replace(map=m, ba_window=win, lam=lam,
-                         ba_steps_left=st.ba_steps_left - ba_per_run,
-                         ba_outliers=res.outliers)
+        st = st._replace(
+            map=m, ba_window=win, lam=lam,
+            ba_steps_left=st.ba_steps_left - ba_per_run,
+            ba_outliers=res.outliers,
+            # converged (or LM stuck at max damping): idle polishing of
+            # this window would be wasted work
+            ba_converged=(res.mean_sq_error <= mse_floor)
+            | (res.lam >= 100.0)
+            | (st.ba_reopened & (st.ba_steps_left - ba_per_run <= 0)))
         st = _rebase_prior(st, before, m.kf_pose[st.ba_center])
         done = (st.ba_steps_left <= 0) | (st.pend_count > 0) \
             | (res.mean_sq_error <= mse_floor)
         return jax.lax.cond(done, finish_mapping, lambda s: s, st)
 
+    def reopen_window(st: EngineState) -> EngineState:
+        """Idle-time BA: nothing pending and no active window — rebuild
+        the window around the last keyframe and keep polishing it.  The
+        reference's IterateBA loop never stops early when the queue is
+        empty; it runs until the error floor (MappingWorker.cpp:330-372).
+        Without this, each window gets only the ~2-3 iterates that fit
+        before the next keyframe enqueues — systematically under-converged
+        depths on exploratory paths re-open the scale-drift feedback loop.
+        Cost: these steps run in frames the mapper would otherwise idle."""
+        win = local_ba.build_local_window(
+            st.map, st.last_kf, st.covis_threshold.astype(jnp.int32),
+            window_size=cap.local_ba_keyframes, num_fixed=8,
+            max_points=cap.local_ba_points)
+        return st._replace(
+            ba_window=win, ba_active=jnp.asarray(True),
+            ba_steps_left=jnp.int32(ba_total),
+            ba_center=st.last_kf,
+            ba_outliers=jnp.zeros_like(st.ba_outliers),
+            ba_reopened=jnp.asarray(True))
+
     def advance_mapping(st: EngineState) -> EngineState:
         """One unit of mapping work per engine step."""
+        def idle(st):
+            # polish the last window while otherwise idle, unless it
+            # already reached the error floor this pass
+            can_reopen = st.map.kf_valid[st.last_kf] & (st.map.num_kf_ever
+                                                        > 2)
+            return jax.lax.cond(can_reopen & ~st.ba_converged,
+                                lambda s: ba_iterate(reopen_window(s)),
+                                lambda s: s, st)
+
+        def drain_and_polish(st):
+            # run the first LM chunk IN the drain step: this frame's
+            # tracking otherwise reads freshly-triangulated points whose
+            # depths still carry the full noise of a single raw tracked
+            # baseline — one immediate BA pass re-fits them against the
+            # established map before anyone consumes them
+            st = drain_pending(st)
+            return jax.lax.cond(st.ba_active, ba_iterate, lambda s: s, st)
+
         return jax.lax.cond(
             st.ba_active, ba_iterate,
-            lambda st: jax.lax.cond(st.pend_count > 0, drain_pending,
-                                    lambda s: s, st),
+            lambda st: jax.lax.cond(st.pend_count > 0, drain_and_polish,
+                                    idle, st),
             st)
 
     # ------------------------------------------------------------------
@@ -580,6 +661,21 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
                                                             st.pose_prev))
         tres = track.track_frame(st.map, feats, prior, st.last_kf, cal, s,
                                  max_local_kf=cap.local_ba_keyframes)
+
+        # third-frame confirmation (MinThirdFrameMatchPercentage,
+        # MageSettings.h:102 / MapInitialization.cpp third-frame check):
+        # the first tracked frame after a fresh initialization must re-find
+        # at least the configured fraction of the init map points, or the
+        # init was a bad RANSAC draw — wipe and re-bootstrap rather than
+        # bake its errors into the trajectory forever
+        need = jnp.ceil(s.mono.map_init.min_third_frame_match_percentage
+                        * st.init_points.astype(jnp.float32)
+                        ).astype(jnp.int32)
+        mse_ok = tres.mean_sq_error \
+            <= s.mono.map_init.third_frame_max_mse_px2 * px * px
+        confirm_fail = st.init_probation \
+            & ~(tres.success & (tres.num_inliers >= need) & mse_ok)
+        st = st._replace(init_probation=jnp.asarray(False))
 
         def on_success(st):
             pose = tres.pose
@@ -640,7 +736,21 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
             overlap_ok = tres.num_inliers \
                 < (mem_ref * s.keyframe.max_tracking_point_overlap
                    + s.keyframe.min_tracking_point_count)
-            want_kf = cadence & count_ok & (moved | ~dense) & overlap_ok
+            # post-relocalization sprint: for the few frames right after a
+            # recovery, insert keyframes every frame instead of blocking
+            # them — new-point creation needs a fresh keyframe PAIR to
+            # re-anchor the map frontier before the old sector (matched at
+            # the overlap margin) falls out of view.  This deliberately
+            # inverts the reference's post-reloc blackout
+            # (NewKeyFrameDecision.cpp:163-166): with its 20-frame block
+            # the reference cannot extend the map after recovery and
+            # re-loses on any forward motion; the e2e occlusion test pins
+            # the sustained-recovery behavior.
+            sprint = (st.frames_since_reloc
+                      <= s.keyframe.min_frame_count_reloc) \
+                & (st.frames_since_kf >= 1)
+            want_kf = count_ok & ((cadence & (moved | ~dense) & overlap_ok)
+                                  | sprint)
 
             st = jax.lax.cond(
                 want_kf,
@@ -667,6 +777,15 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
                 jnp.zeros_like(st.map.kf_valid),
                 qualifying_score=s.bag_of_words.qualifying_candidate_score,
                 max_results=s.mapping.max_reloc_query_results)
+            # the most recent keyframe is always tried: after a short
+            # occlusion the camera is nearest the map frontier, and the
+            # small online vocabulary ranks too noisily to guarantee the
+            # right candidate surfaces in the top results (the reference's
+            # FindSimilarKeyframes searches the full trained index)
+            cand_idx = jnp.concatenate(
+                [st.last_kf[None].astype(jnp.int32), cand_idx])
+            cand_ok = jnp.concatenate(
+                [st.map.kf_valid[st.last_kf][None], cand_ok])
             key, sub = jax.random.split(st.key)
             rres = relocalization.relocalize(sub, st.map, feats, cand_idx,
                                              cand_ok & st.bow_trained,
@@ -682,11 +801,22 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
                     h = ph.add_pose(st.history, fid, ts, t2.pose,
                                     t2.ref_kf,
                                     st.map.kf_pose[t2.ref_kf])
-                    return st._replace(
+                    st = st._replace(
                         history=h, lost_count=jnp.int32(0),
                         frames_since_reloc=jnp.int32(0),
-                        pose_prev=t2.pose, pose_prev2=t2.pose), \
-                        jnp.asarray(True), t2.pose
+                        pose_prev=t2.pose, pose_prev2=t2.pose)
+                    # re-anchor the frontier: the recovered frame becomes
+                    # a keyframe immediately so new-point creation resumes
+                    # from the recovery viewpoint.  (Deviation from the
+                    # reference's 20-frame post-reloc keyframe blackout,
+                    # KeyframeDecisionMinFrameCountReloc: after an
+                    # occlusion the camera is past the map frontier and
+                    # the stale local map only survives a few more frames
+                    # — without an immediate keyframe pair to triangulate
+                    # against, tracking dies again for good.)
+                    st = enqueue_keyframe(st, feats, t2.pose, t2.assoc,
+                                          fid)
+                    return st, jnp.asarray(True), t2.pose
 
                 def bad(st):
                     return st, jnp.asarray(False), rres.pose
@@ -711,11 +841,13 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
                          jnp.where(lost, CODE_RELOCALIZING, CODE_SKIPPED))
         pose_out = jnp.where(recovered, rpose, tres.pose)
 
-        # infant-map reset when lost with a tiny map
+        # infant-map reset when lost with a tiny map, or when the
+        # third-frame confirmation failed
         tiny = jnp.sum(st.map.kf_valid) <= 3
-        st = jax.lax.cond(lost & ~recovered & tiny,
+        st = jax.lax.cond((lost & ~recovered & tiny) | confirm_fail,
                           lambda st: _reset_slam_state(st, s),
                           lambda st: st, st)
+        code = jnp.where(confirm_fail, CODE_INITIALIZING, code)
         return st, code, pose_out, tres.num_inliers
 
     # ------------------------------------------------------------------

@@ -52,11 +52,19 @@ class MageSlamTPUFused(SensorFacadeMixin):
 
     def __init__(self, settings: MageSlamSettings,
                  calibration: CameraCalibration, seed: int = 0,
-                 fetch_every: int = 8, pose_prior_provider=None):
+                 fetch_every: int = 8, pose_prior_provider=None,
+                 busy_fn=None, determinator=None):
         self.settings = settings
         self.cal = calibration
         self.mediator = Mediator()
         self._prior_provider = pose_prior_provider
+        # determinism checkpoints (arcana determinator.h:16-21 analog,
+        # reference wires ~40 sites e.g. MappingWorker.cpp:243-246): the
+        # fused engine hashes each frame's packed output-ring row as it
+        # materializes — the row carries state/pose/inlier/map-stat values
+        # and is ALREADY on host, so checkpointing costs no extra device
+        # round-trips
+        self.determinator = determinator
         self._state, self._step, self._drain_mapping = \
             de.make_engine(settings, calibration)
         self._state = self._state._replace(key=jax.random.key(seed))
@@ -65,8 +73,35 @@ class MageSlamTPUFused(SensorFacadeMixin):
         self._inflight = None         # (meta, stacked) copy in flight
         self._results: dict[int, TrackingResult] = {}
         self._frame_id = 0
+        # drop-frame pacing (Runtime.cpp:107-121 OneAtATime): hold the
+        # newest not-yet-dispatched frame while the device pipeline is
+        # deeper than max_pipeline_depth; an even newer arrival replaces
+        # (drops) the held one as SKIPPED.  busy_fn overrides the "is the
+        # pipeline behind" probe (tests inject a fake; default counts
+        # dispatched outputs that have not materialized on host yet).
+        self._held = None             # (fid, ts, gray, prior)
+        self._dropped = 0
+        self._busy_fn = busy_fn if busy_fn is not None else \
+            self._pipeline_depth
 
     # ------------------------------------------------------------------
+    def _pipeline_depth(self) -> int:
+        """Dispatched engine steps whose outputs are still on device."""
+        n = 0
+        for _, _, o in self._pending:
+            ready = getattr(o, "is_ready", None)
+            if ready is not None and not ready():
+                n += 1
+        return n
+
+    def _dispatch(self, fid, ts, gray, prior):
+        self._state, out = self._step(self._state, gray,
+                                      jnp.float32(ts), jnp.int32(fid),
+                                      ext_prior=prior)
+        self._pending.append((fid, ts, out))
+        if len(self._pending) >= self._fetch_every:
+            self._drain()
+
     def process_frame(self, img, timestamp: Optional[float] = None
                       ) -> TrackingResult:
         fid = self._frame_id
@@ -76,14 +111,30 @@ class MageSlamTPUFused(SensorFacadeMixin):
         prior = None
         if self._prior_provider is not None:
             prior = self._prior_provider.get_pose_for_time(ts)
-        self._state, out = self._step(self._state, gray,
-                                      jnp.float32(ts), jnp.int32(fid),
-                                      ext_prior=prior)
-        self._pending.append((fid, ts, out))
-        if len(self._pending) >= self._fetch_every:
-            self._drain()
+
+        rt = self.settings.runtime
+        if rt.drop_frames_when_busy:
+            if self._busy_fn() >= rt.max_pipeline_depth:
+                # pipeline behind: hold this frame; drop any older held
+                # frame as SKIPPED (process-latest, Runtime.cpp:107-121)
+                if self._held is not None:
+                    hfid, hts, _, _ = self._held
+                    self._results[hfid] = TrackingResult(
+                        hfid, hts, TrackingState.SKIPPED)
+                    self._dropped += 1
+                self._held = (fid, ts, gray, prior)
+                return TrackingResult(fid, ts, TrackingState.SKIPPED)
+            if self._held is not None:
+                self._dispatch(*self._held)
+                self._held = None
+        self._dispatch(fid, ts, gray, prior)
         return self._results.get(
             fid, TrackingResult(fid, ts, TrackingState.SKIPPED))
+
+    @property
+    def frames_dropped(self) -> int:
+        """Frames discarded by drop-frame pacing."""
+        return self._dropped
 
     def _materialize(self, batch):
         """Resolve one in-flight (meta, stacked device array) batch and
@@ -94,6 +145,8 @@ class MageSlamTPUFused(SensorFacadeMixin):
         meta, stacked = batch
         outs = np.asarray(stacked)
         for (fid, ts), row in zip(meta, outs):
+            if self.determinator is not None:
+                self.determinator.check("FusedEngine", fid, row)
             code = int(row[0])
             state = _CODE_TO_STATE.get(code, TrackingState.SKIPPED)
             pose = row[1:8].copy() if state == TrackingState.TRACKING \
@@ -135,6 +188,9 @@ class MageSlamTPUFused(SensorFacadeMixin):
 
     def flush(self):
         """Resolve all pending results (one device fetch)."""
+        if self._held is not None:
+            self._dispatch(*self._held)
+            self._held = None
         self._drain(final=True)
         return self._results
 
@@ -240,13 +296,10 @@ class MageSlamTPUFused(SensorFacadeMixin):
         self._drain(final=True)
         self._settle()
         s = self.settings
-        px = 1.0 / float(self.cal.fx)
         if bool(self._state.initialized):
             num_steps = max(int(s.graph_optimization.num_steps), 10)
-            m, _ = global_ba.global_bundle_adjust(
-                self._state.map,
-                jnp.float32(s.bundle_adjust.huber_width * px),
-                jnp.float32(s.graph_optimization.max_outlier_error * px),
+            m, _ = global_ba.engine_global_bundle_adjust(
+                self._state.map, s, float(self.cal.fx),
                 num_steps=num_steps, lam0=self._state.lam)
             self._state = self._state._replace(map=m)
         return FossilizedMap.from_state(self._state.map,

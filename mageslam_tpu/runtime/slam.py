@@ -84,8 +84,15 @@ class MageSlamTPU(SensorFacadeMixin):
 
     def __init__(self, settings: MageSlamSettings,
                  calibration: CameraCalibration,
-                 seed: int = 0, pose_prior_provider=None):
+                 seed: int = 0, pose_prior_provider=None,
+                 determinator=None):
         self.settings = settings
+        # determinism checkpoints (arcana determinator.h:16-21; reference
+        # sites e.g. MappingWorker.cpp:243-246): per-frame tracking hashes
+        # on "TrackingThread", per-commit mapping hashes on
+        # "MappingThread" — record/replay comparison via
+        # utils/determinism.Determinator.save/load/compare
+        self.determinator = determinator
         self.cal = calibration
         # typed event bus (TrackingEvents.h / mediator.h analog)
         self.mediator = Mediator()
@@ -119,6 +126,9 @@ class MageSlamTPU(SensorFacadeMixin):
         self._bow_training: list = []
         self._bow_trained = False
         self._loops_closed = 0
+        self._ba_converged = False   # last window reached its error floor
+        self._init_probation = False  # third-frame confirmation pending
+        self._init_points = 0
 
     # ------------------------------------------------------------------
     # public API
@@ -157,10 +167,8 @@ class MageSlamTPU(SensorFacadeMixin):
         px = 1.0 / float(self.cal.fx)
         num_steps = max(int(s.graph_optimization.num_steps), 10)
         if self._initialized:
-            self._map, _ = global_ba.global_bundle_adjust(
-                self._map,
-                jnp.float32(s.bundle_adjust.huber_width * px),
-                jnp.float32(s.graph_optimization.max_outlier_error * px),
+            self._map, _ = global_ba.engine_global_bundle_adjust(
+                self._map, s, float(self.cal.fx),
                 num_steps=num_steps, lam0=self._lam)
         return FossilizedMap.from_engine(self)
 
@@ -306,6 +314,8 @@ class MageSlamTPU(SensorFacadeMixin):
         self._history = ph.add_pose(self._history, fid1, ts1, res.pose1,
                                     s1, res.pose1)
         self._initialized = True
+        self._init_probation = True
+        self._init_points = int(res.num_points)
         self._init_buffer.clear()
         self._pose_prev = res.pose1
         # zero-velocity prior: the init pair spans several frames, so
@@ -336,7 +346,24 @@ class MageSlamTPU(SensorFacadeMixin):
         if prior is None:
             prior = self._motion_prior()
         tres = track.track_frame(self._map, feats, prior, self._last_kf,
-                                 self.cal, s)
+                                 self.cal, s,
+                                 max_local_kf=s.capacity.local_ba_keyframes)
+        # third-frame confirmation (MinThirdFrameMatchPercentage,
+        # MageSettings.h:102): the first tracked frame after init must
+        # re-find enough of the init map points or the init was a bad
+        # draw — wipe and re-bootstrap (see device_engine.track_branch)
+        if self._init_probation:
+            self._init_probation = False
+            need = int(np.ceil(
+                s.mono.map_init.min_third_frame_match_percentage
+                * self._init_points))
+            px = 1.0 / float(self.cal.fx)
+            mse_ok = float(tres.mean_sq_error) \
+                <= s.mono.map_init.third_frame_max_mse_px2 * px * px
+            if not (bool(tres.success) and int(tres.num_inliers) >= need
+                    and mse_ok):
+                self._reset_map()
+                return TrackingResult(fid, ts, TrackingState.INITIALIZING)
         if not bool(tres.success):
             self._lost_count += 1
             if self._lost_count >= s.track_local_map \
@@ -348,6 +375,10 @@ class MageSlamTPU(SensorFacadeMixin):
         self._lost_count = 0
         pose = tres.pose
         ref_kf = int(tres.ref_kf)
+        if self.determinator is not None:
+            self.determinator.check("TrackingThread", fid,
+                                    np.asarray(pose),
+                                    int(tres.num_inliers))
 
         # pose history (anchor on the reference keyframe)
         self._history = ph.add_pose(self._history, fid, ts, pose, ref_kf,
@@ -355,6 +386,14 @@ class MageSlamTPU(SensorFacadeMixin):
         # recent-point stats
         self._map = culling.accumulate_tracking_stats(
             self._map, tres.local_mp_mask, tres.found_mp_mask)
+
+        # idle-time polish (device_engine.reopen_window parity): keep
+        # refining the last window between keyframes until its error
+        # floor — the infant map right after initialization depends on
+        # this (tracking against an unpolished 2-view map bakes errors
+        # into the early trajectory)
+        if not self._ba_converged:
+            self._idle_polish()
 
         # keyframe decision
         self._frames_since_kf += 1
@@ -412,6 +451,34 @@ class MageSlamTPU(SensorFacadeMixin):
         return TrackingResult(fid, ts, TrackingState.TRACKING,
                               np.asarray(pose))
 
+    def _idle_polish(self):
+        """One LM chunk on a rebuilt window around the last keyframe —
+        the synchronous equivalent of the fused engine's idle-time BA
+        (device_engine.reopen_window)."""
+        s = self.settings
+        cap = s.capacity
+        px = 1.0 / float(self.cal.fx)
+        from mageslam_tpu.solvers.bundle_adjust import bundle_adjust
+        win = local_ba.build_local_window(
+            self._map, self._last_kf, jnp.int32(self._covis_threshold),
+            window_size=cap.local_ba_keyframes, num_fixed=8,
+            max_points=cap.local_ba_points)
+        chunk = max(int(s.bundle_adjust.num_steps_per_run), 1) * 8
+        mse_floor = float(s.bundle_adjust.min_mean_square_error) * px * px
+        res = bundle_adjust(
+            win.problem,
+            jnp.float32(s.bundle_adjust.huber_width * px),
+            jnp.float32(s.bundle_adjust.max_outlier_error * px),
+            num_steps=chunk,
+            lam0=self._lam if s.mapping.persist_lambda else 1e-4)
+        win = win._replace(problem=win.problem._replace(
+            kf_poses=res.kf_poses, points=res.points))
+        if s.mapping.persist_lambda:
+            self._lam = max(float(res.lam), s.mapping.min_lambda)
+        self._map = local_ba.apply_window_result(self._map, win, res)
+        self._ba_converged = (float(res.mean_sq_error) <= mse_floor
+                              or float(res.lam) >= 100.0)
+
     def _feed_bow_training(self, feats):
         """Accumulate descriptors and train the vocabulary once enough
         frames arrived (ImageAnalyzer.cpp:124 BoW.AddTrainingDescriptors +
@@ -457,6 +524,13 @@ class MageSlamTPU(SensorFacadeMixin):
                 jnp.zeros_like(self._map.kf_valid),
                 qualifying_score=s.bag_of_words.qualifying_candidate_score,
                 max_results=s.mapping.max_reloc_query_results)
+            # always include the most recent keyframe (see
+            # device_engine.py reloc: the online vocabulary's ranking is
+            # too noisy to guarantee the map-frontier keyframe surfaces)
+            cand_idx = jnp.concatenate(
+                [jnp.asarray(self._last_kf, jnp.int32)[None], cand_idx])
+            cand_ok = jnp.concatenate(
+                [self._map.kf_valid[self._last_kf][None], cand_ok])
             self._key, sub = jax.random.split(self._key)
             rres = relocalization.relocalize(
                 sub, self._map, feats, cand_idx, cand_ok,
@@ -476,6 +550,10 @@ class MageSlamTPU(SensorFacadeMixin):
                         self._map.kf_pose[ref_kf])
                     self._pose_prev = pose
                     self._pose_prev2 = pose  # zero-velocity restart
+                    # re-anchor the frontier: recovered frame becomes a
+                    # keyframe immediately (see device_engine.py reloc-ok
+                    # path for the rationale / reference deviation note)
+                    self._mapping_step(fid, feats, pose, tres.assoc)
                     return TrackingResult(fid, ts, TrackingState.TRACKING,
                                           np.asarray(pose))
         return TrackingResult(fid, ts, TrackingState.RELOCALIZING)
@@ -520,6 +598,10 @@ class MageSlamTPU(SensorFacadeMixin):
         self._map, slot = ms.insert_keyframe(self._map, pose, feats, assoc,
                                              fid)
         slot = int(slot)
+        # the promoted frame's trajectory pose now lives on its own
+        # keyframe (identity offset) so later BA refinements reach it
+        self._history = ph.anchor_frame_to_kf(self._history, fid, slot)
+        self._ba_converged = False
         self._last_kf = slot
         self._frames_since_kf = 0
         self._kf_frame_ids.append(fid)
@@ -572,29 +654,46 @@ class MageSlamTPU(SensorFacadeMixin):
         # pose toward rotation, whose error biases the next triangulation
         # — a scale-collapse feedback loop on exploratory trajectories.
         from mageslam_tpu.solvers.bundle_adjust import bundle_adjust
-        chunk = max(int(s.bundle_adjust.num_steps_per_run), 1) * 4
-        max_total = max(10 * chunk, 40)
+        chunk = max(int(s.bundle_adjust.num_steps_per_run), 1) * 8
+        max_total = max(10 * chunk, 80)
         mse_floor = float(s.bundle_adjust.min_mean_square_error) * px * px
-        lam = self._lam if s.mapping.persist_lambda else 1e-4
-        problem = win.problem
-        res = None
-        for _ in range(max_total // chunk):
-            res = bundle_adjust(
-                problem,
-                jnp.float32(s.bundle_adjust.huber_width * px),
-                jnp.float32(s.bundle_adjust.max_outlier_error * px),
-                num_steps=chunk, lam0=lam)
-            problem = problem._replace(kf_poses=res.kf_poses,
-                                       points=res.points)
-            lam = res.lam
-            if float(res.mean_sq_error) <= mse_floor:
-                break
-        win = win._replace(problem=problem)
-        if s.mapping.persist_lambda:
-            self._lam = max(float(res.lam), s.mapping.min_lambda)
-        self._map = local_ba.apply_window_result(self._map, win, res)
+
+        def run_window(win):
+            lam = self._lam if s.mapping.persist_lambda else 1e-4
+            problem = win.problem
+            res = None
+            for _ in range(max_total // chunk):
+                res = bundle_adjust(
+                    problem,
+                    jnp.float32(s.bundle_adjust.huber_width * px),
+                    jnp.float32(s.bundle_adjust.max_outlier_error * px),
+                    num_steps=chunk, lam0=lam)
+                problem = problem._replace(kf_poses=res.kf_poses,
+                                           points=res.points)
+                lam = res.lam
+                if float(res.mean_sq_error) <= mse_floor:
+                    break
+            win = win._replace(problem=problem)
+            if s.mapping.persist_lambda:
+                self._lam = max(float(res.lam), s.mapping.min_lambda)
+            self._map = local_ba.apply_window_result(self._map, win, res)
+            return win, res
+
+        win, res = run_window(win)
+        # second pass on a REBUILT window (the fused engine's idle-time
+        # polish, device_engine.reopen_window): outlier unassociation and
+        # the first pass's pose/point moves change which observations the
+        # window should contain; a rebuilt window converges measurably
+        # tighter than iterating the stale one
         if s.track_local_map.unassociate_outliers:
             self._map = local_ba.unassociate_outliers(self._map, win, res)
+        win2 = local_ba.build_local_window(
+            self._map, slot, jnp.int32(self._covis_threshold),
+            window_size=cap.local_ba_keyframes,
+            num_fixed=8, max_points=cap.local_ba_points)
+        win2, res2 = run_window(win2)
+        if s.track_local_map.unassociate_outliers:
+            self._map = local_ba.unassociate_outliers(self._map, win2, res2)
         self.mediator.send(HistoryUpdated("local_ba"))
 
         # 5. keyframe culling + history re-anchoring
@@ -609,7 +708,15 @@ class MageSlamTPU(SensorFacadeMixin):
             self._history = ph.reanchor(self._history, self._map.kf_pose,
                                         self._map.kf_valid, dead, targets)
             self._bow = bdb.remove_keyframes(self._bow, dead)
-        self._map = cres.map
+        # representative-descriptor + viewing-direction refresh
+        # (MapPoint.cpp:80-131) once per mapping commit
+        self._map = ms.refresh_point_representatives(cres.map)
+
+        if self.determinator is not None:
+            self.determinator.check(
+                "MappingThread", fid,
+                np.asarray(self._map.kf_pose[slot]),
+                self.num_keyframes, self.num_map_points)
 
         # 6. loop closure per keyframe (LoopClosureWorker::AttemptLoopClosure
         # scheduled after each mapping pass, Runtime.cpp:527-529)
@@ -640,10 +747,10 @@ class MageSlamTPU(SensorFacadeMixin):
         self._map = loop_closure.merge_loop_points(
             self._map, slot, det, self.cal, s.loop_closure)
         lc_ba = s.loop_closure.bundle_adjust
-        self._map, _ = global_ba.global_bundle_adjust(
-            self._map,
-            jnp.float32(lc_ba.huber_width * px),
-            jnp.float32(lc_ba.max_outlier_error * px),
-            num_steps=max(int(lc_ba.num_steps), 5), lam0=self._lam)
+        self._map, _ = global_ba.engine_global_bundle_adjust(
+            self._map, s, float(self.cal.fx),
+            num_steps=max(int(lc_ba.num_steps), 5), lam0=self._lam,
+            huber_width_px=float(lc_ba.huber_width),
+            max_outlier_px=float(lc_ba.max_outlier_error))
         self._loops_closed += 1
         self.mediator.send(HistoryUpdated("loop_closure"))

@@ -132,6 +132,19 @@ def _error(problem, kf_poses, points, huber_delta, axis_name=None):
     rho = jnp.where(err <= d2, err,
                     2.0 * huber_delta * jnp.sqrt(jnp.maximum(err, d2)) - d2)
     e = jnp.sum(jnp.where(good, rho, 0.0))
+    # cheirality penalty: an observation whose point moves behind its
+    # camera must NOT silently leave the cost — without this, LM
+    # discovers that collapsing frontier geometry "deletes" residuals
+    # (z<=0 drops out of `good`) and monotonically shrinks map scale
+    # while the reported error falls.  Measured on a ground-truth-
+    # initialized window: cameras walked 0.19 units away from truth and
+    # the frontier step collapsed to 0.39x in 80 accepted steps.  A flat
+    # 1.0 (normalized-units^2) per lost observation makes such steps
+    # strictly unprofitable; genuinely-bad observations still get
+    # classified as outliers at the end.
+    _, z, _, _ = _project_obs(kf_poses, points, problem.obs_kf)
+    behind = problem.obs_valid & problem.point_valid[:, None] & (z <= 0)
+    e = e + jnp.sum(behind.astype(jnp.float32))
 
     def one_tether(i, j, tt, tp, td, w):
         rt = _tether_residual(kf_poses[i], kf_poses[j], tt, tp, td)

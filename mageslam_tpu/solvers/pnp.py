@@ -153,27 +153,77 @@ def pnp_ransac(key: jax.Array, points_w: jnp.ndarray, xn_obs: jnp.ndarray,
                inlier_thresh: jnp.ndarray,
                huber_delta: jnp.ndarray,
                num_hypotheses: int = 64,
-               refine_iters: int = 8) -> PnPResult:
+               refine_iters: int = 8,
+               quality: jnp.ndarray | None = None,
+               init_pose: jnp.ndarray | None = None) -> PnPResult:
     """Vmapped RANSAC PnP (relocalization;  reference round-robin PNPRansac,
     PoseEstimator.cpp:219-437,610).  Fixed hypothesis budget, masked scoring.
+
+    quality (N,) optionally biases minimal-set sampling toward
+    higher-confidence correspondences (PROSAC-style): with w% true matches
+    uniformly sampled, a 6-point DLT set is all-inlier with probability w^6
+    — quality weighting raises the effective w, which is what makes
+    wide-baseline relocalization viable at ~50% match precision.
+
+    init_pose (7,) optionally adds minimal-4 hypotheses: 4 sampled
+    correspondences refined by GN *from init_pose* (half the budget; the
+    other half stays 6-point DLT).  This is the TPU substitute for a P3P
+    minimal solver — relocalization always has the candidate keyframe's
+    pose as a basin-of-attraction initializer, and a 4-point set is
+    all-inlier at w^4 instead of w^6, which is decisive at the ~40% match
+    precision of wide-baseline recovery.
     """
     n = points_w.shape[0]
     p = valid.astype(jnp.float32)
-    p = p / jnp.maximum(jnp.sum(p), 1.0)
+    if quality is not None:
+        p = p * quality
+    p = p / jnp.maximum(jnp.sum(p), 1e-9)
+    thresh_sq = inlier_thresh ** 2
 
-    def hypothesis(k):
-        idx = jax.random.choice(k, n, shape=(6,), replace=False, p=p)
-        pose = _dlt_pose(points_w[idx], xn_obs[idx])
+    def score_pose(pose):
         r, z = reprojection_residuals(pose, points_w, xn_obs)
         err = jnp.sum(r * r, -1)
-        inl = valid & (z > 0) & (err < inlier_thresh ** 2)
+        inl = valid & (z > 0) & (err < thresh_sq)
         finite = jnp.all(jnp.isfinite(pose))
-        return pose, jnp.where(finite, jnp.sum(inl), -1)
+        return jnp.where(finite, jnp.sum(inl), -1), inl
 
-    keys = jax.random.split(key, num_hypotheses)
-    poses, scores = jax.vmap(hypothesis)(keys)
+    def hypothesis_dlt(k):
+        idx = jax.random.choice(k, n, shape=(6,), replace=False, p=p)
+        pose = _dlt_pose(points_w[idx], xn_obs[idx])
+        s, _ = score_pose(pose)
+        return pose, s
+
+    if init_pose is None:
+        keys = jax.random.split(key, num_hypotheses)
+        poses, scores = jax.vmap(hypothesis_dlt)(keys)
+    else:
+        def hypothesis_gn(k):
+            idx = jax.random.choice(k, n, shape=(4,), replace=False, p=p)
+            mask = jnp.zeros(n, bool).at[idx].set(True) & valid
+            r = refine_pose(init_pose, points_w, xn_obs, mask,
+                            huber_delta, inlier_thresh, iters=10)
+            s, _ = score_pose(r.pose)
+            return r.pose, s
+
+        k1, k2 = jax.random.split(key)
+        keys1 = jax.random.split(k1, num_hypotheses // 2)
+        keys2 = jax.random.split(k2, num_hypotheses - num_hypotheses // 2)
+        poses_a, scores_a = jax.vmap(hypothesis_gn)(keys1)
+        poses_b, scores_b = jax.vmap(hypothesis_dlt)(keys2)
+        poses = jnp.concatenate([poses_a, poses_b])
+        scores = jnp.concatenate([scores_a, scores_b])
     best = jnp.argmax(scores)
     pose_best = poses[best]
-    # polish on the best hypothesis's inliers via robust GN over all points
-    return refine_pose(pose_best, points_w, xn_obs, valid,
-                       huber_delta, inlier_thresh, iters=refine_iters)
+    # polish on the WINNING hypothesis's inlier set — refining over all
+    # correspondences diverges at >50% outlier rates (robust IRLS is not a
+    # consensus estimator), which silently broke wide-baseline recovery
+    _, inl_best = score_pose(pose_best)
+    res = refine_pose(pose_best, points_w, xn_obs, inl_best,
+                      huber_delta, inlier_thresh, iters=refine_iters)
+    # final inlier verdict over ALL valid correspondences
+    r, z = reprojection_residuals(res.pose, points_w, xn_obs)
+    err = jnp.sum(r * r, -1)
+    inl = valid & (z > 0) & (err < thresh_sq)
+    ninl = jnp.sum(inl)
+    mse = jnp.sum(jnp.where(inl, err, 0.0)) / jnp.maximum(ninl, 1)
+    return PnPResult(res.pose, inl, ninl, mse)

@@ -164,7 +164,18 @@ def _extract_features_impl(img: jnp.ndarray, cal: CameraCalibration,
 def extract_for_settings(img: jnp.ndarray, cal: CameraCalibration,
                          cam: PerCameraSettings,
                          max_features: int) -> FrameFeatures:
-    """Frontend driven by a PerCameraSettings bag."""
+    """Frontend driven by a PerCameraSettings bag.
+
+    Undistortion dispatch (Tasks/ImageAnalyzer.cpp:26-51): with
+    ``undistort_image_pixels`` set, the IMAGE is rectified through the
+    inverse distortion remap first and detection runs on the rectified
+    pixels against the matching pinhole calibration; otherwise detection
+    runs on the distorted image and only the KEYPOINT coordinates are
+    undistorted downstream (the golden-path default)."""
+    if cam.undistort_image_pixels:
+        from mageslam_tpu.ops import undistort
+        img = undistort.undistort_image(img, cal)
+        cal = undistort.undistorted_calibration(cal)
     fe: FeatureExtractorSettings = cam.features
     return extract_features(
         img, cal,

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from mageslam_tpu.config import MonoMapInitializationSettings
 from mageslam_tpu.geometry import se3, triangulation
 from mageslam_tpu.ops import matching
-from mageslam_tpu.solvers import essential
+from mageslam_tpu.solvers import essential, homography
 from mageslam_tpu.solvers.bundle_adjust import (BAProblem, bundle_adjust,
                                                 empty_tethers)
 from mageslam_tpu.tracking.frontend import FrameFeatures
@@ -39,6 +39,7 @@ class InitResult(NamedTuple):
     num_points: jnp.ndarray
     num_matches: jnp.ndarray
     mean_sq_error: jnp.ndarray
+    used_homography: jnp.ndarray  # bool — planar (H) model won the vote
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "fx"))
@@ -65,16 +66,37 @@ def attempt_initialization(key: jax.Array, f0: FrameFeatures,
     xn0 = f0.xn_undist
     xn1 = f1.xn_undist[jnp.clip(idx, 0)]
 
-    # --- essential RANSAC (FindPossiblePoses)
+    # --- dual-model RANSAC (FindPossiblePoses): 8-point essential AND
+    # 4-point homography, scored against each other.  The reference grafts
+    # the Nistér 5-point solver for exactly the configurations where the
+    # 8-point F/E degenerates — planar scenes and low parallax
+    # (ComputeEssential.cpp:1-10, MageSettings.h:110
+    # RansacIterationsForModels "homography and fundamental model").
+    # TPU-first equivalent: pick the model whose truncated symmetric
+    # transfer score explains the matches (ORB-SLAM's R_H heuristic) and
+    # reconstruct from it — H via Faugeras decomposition, E via cheirality.
+    kE, kH = jax.random.split(key)
+    weight = jnp.exp(-dist.astype(jnp.float32) / 12.0)
     eres = essential.essential_ransac(
-        key, xn0, xn1, matched,
+        kE, xn0, xn1, matched,
         inlier_thresh=jnp.float32(s.fundamental_transfer_error_threshold
                                   * px),
         min_pixel_spread=jnp.float32(s.min_pixel_spread * px),
         num_hypotheses=1024,
-        sample_weight=jnp.exp(-dist.astype(jnp.float32) / 12.0))
-    pose1 = eres.rel_pose
-    inl = eres.inliers
+        sample_weight=weight)
+    hres = homography.homography_ransac(
+        kH, xn0, xn1, matched,
+        inlier_thresh=jnp.float32(s.fundamental_transfer_error_threshold
+                                  * px),
+        min_pixel_spread=jnp.float32(s.min_pixel_spread * px),
+        num_hypotheses=512,
+        sample_weight=weight)
+    r_h = hres.score / jnp.maximum(hres.score + eres.score, 1e-12)
+    use_h = r_h > s.homography_model_ratio
+    pose_h = homography.recover_pose_from_h(hres.H, xn0, xn1, hres.inliers)
+    pose1 = jnp.where(use_h, pose_h, eres.rel_pose)
+    inl = jnp.where(use_h, hres.inliers, eres.inliers)
+    model_inliers = jnp.where(use_h, hres.num_inliers, eres.num_inliers)
 
     # --- triangulate inliers (TriangulatePoints + gates)
     r0 = jnp.concatenate([xn0, jnp.ones((F, 1))], -1)
@@ -126,8 +148,8 @@ def attempt_initialization(key: jax.Array, f0: FrameFeatures,
 
     n_points = jnp.sum(pt_ok)
     success = ((n_matches >= s.min_feature_matches)
-               & (eres.num_inliers >= s.min_scoring_inliers)
-               & (eres.num_inliers
+               & (model_inliers >= s.min_scoring_inliers)
+               & (model_inliers
                   >= s.min_inlier_percentage * jnp.maximum(n_matches, 1))
                & med_ok
                & (n_points >= s.min_initial_map_points)
@@ -142,4 +164,5 @@ def attempt_initialization(key: jax.Array, f0: FrameFeatures,
         num_points=n_points,
         num_matches=n_matches,
         mean_sq_error=bares.mean_sq_error,
+        used_homography=use_h,
     )

@@ -88,11 +88,24 @@ def track_frame(m: ms.MapState, feats: FrameFeatures,
 
     ham = s.track_local_map.matcher.max_hamming_distance
     mp2feat = match_round(s.pose_estimation.search_radius, ham)
-    # widen if too few (PoseEstimationSettings wider radii)
+    # widen if too few (PoseEstimationSettings wider radii, all three
+    # rounds: SearchRadius -> WiderSearchRadius -> ExtraWiderSearchRadius,
+    # MageSettings.h:194-196 — the third round is what keeps tracking
+    # alive when the prior is stale, e.g. right after relocalization)
     n1 = jnp.sum(mp2feat >= 0)
     mp2feat_wide = match_round(s.pose_estimation.wider_search_radius, ham)
     mp2feat = jnp.where(
         n1 < s.pose_estimation.feature_match_threshold, mp2feat_wide,
+        mp2feat)
+    # the extra-wide round is a RESCUE, not a routine: at radius 36 the
+    # synthetic-world descriptor aliasing admits enough wrong matches to
+    # drag the pose, so it fires only when the narrower rounds leave
+    # tracking below its survival count (stale prior after recovery)
+    n2 = jnp.sum(mp2feat >= 0)
+    mp2feat_xwide = match_round(
+        s.pose_estimation.extra_wider_search_radius, ham)
+    mp2feat = jnp.where(
+        n2 < s.track_local_map.min_tracked_feature_count, mp2feat_xwide,
         mp2feat)
 
     # ---- optimize pose on matches (stage-1 BA:

@@ -107,9 +107,10 @@ def test_tum_frames_gt(tum_dir):
     gt = seq.gt_for_frames()
     assert gt.shape == (3, 7)
     # identity rotation rows -> view pose t = -t_world; the first image
-    # (ts ~.1753) associates to the gt row at .18 (tx = 0.05)
+    # (ts ~.1753) associates to the gt row at .18 (tx = 0.05).
+    # quaternions are W-FIRST (repo convention): identity = [1, 0, 0, 0]
     np.testing.assert_allclose(gt[0, 4:], [-0.05, 0.0, -0.5], atol=1e-6)
-    assert gt[0, 3] == pytest.approx(1.0)
+    assert gt[0, 0] == pytest.approx(1.0)
 
 
 def test_autodetect(euroc_dir, tum_dir, tmp_path):

@@ -1,0 +1,76 @@
+"""Determinator wired into the live engines: record -> replay -> compare.
+
+The reference's de-facto integration test (SURVEY.md §4): DETERMINISTIC_
+CHECK streams per thread, saved and compared across runs
+(arcana/analysis/determinator.h:16-110, sites like MappingWorker.cpp:
+243-246).  Here both engines emit per-frame checkpoint streams; two
+identical runs must agree hash-for-hash, a perturbed run must diverge,
+and the save/load roundtrip must reproduce the comparison.
+"""
+
+import numpy as np
+
+from mageslam_tpu.io.synthetic import (SyntheticWorld, default_calibration,
+                                       orbit_trajectory)
+from mageslam_tpu.runtime.fused import MageSlamTPUFused
+from mageslam_tpu.runtime.slam import MageSlamTPU
+from mageslam_tpu.utils.determinism import Determinator
+
+from test_slam_e2e import fast_settings
+
+N = 14
+
+
+def _drive_fused(det, perturb=False):
+    world = SyntheticWorld.create(400, seed=3)
+    cal = default_calibration()
+    poses = orbit_trajectory(N, radius=2.0, forward=0.02, sweep=0.9)
+    eng = MageSlamTPUFused(fast_settings(), cal, seed=1, determinator=det)
+    for i, p in enumerate(poses):
+        img = world.render(cal, p, seed=700 + i)
+        if perturb and i == 8:
+            img = np.roll(img, 1, axis=1)  # one-pixel shift at frame 8
+        eng.process_frame(img, timestamp=i / 30.0)
+    eng.flush()
+    return eng
+
+
+def _drive_host(det):
+    world = SyntheticWorld.create(400, seed=3)
+    cal = default_calibration()
+    poses = orbit_trajectory(N, radius=2.0, forward=0.02, sweep=0.9)
+    eng = MageSlamTPU(fast_settings(), cal, seed=1, determinator=det)
+    for i, p in enumerate(poses):
+        eng.process_frame(world.render(cal, p, seed=700 + i),
+                          timestamp=i / 30.0)
+    return eng
+
+
+class TestDeterminatorWiring:
+    def test_fused_record_replay_agrees(self, tmp_path):
+        d1, d2 = Determinator(), Determinator()
+        _drive_fused(d1)
+        _drive_fused(d2)
+        assert "FusedEngine" in d1.streams
+        assert len(d1.streams["FusedEngine"]) == N
+        p = str(tmp_path / "truth.json")
+        d1.save(p)
+        truth = Determinator.load(p)
+        diffs = d2.compare(truth)
+        assert all(v == -1 for v in diffs.values()), diffs
+
+    def test_fused_divergence_detected(self):
+        d1, d2 = Determinator(), Determinator()
+        _drive_fused(d1)
+        _drive_fused(d2, perturb=True)
+        diffs = d2.compare(d1)
+        # divergence at (or after) the perturbed frame, never before
+        assert diffs["FusedEngine"] >= 8, diffs
+
+    def test_host_streams_emitted(self):
+        det = Determinator()
+        eng = _drive_host(det)
+        assert "TrackingThread" in det.streams
+        assert len(det.streams["TrackingThread"]) >= 5
+        if eng.num_keyframes > 2:
+            assert "MappingThread" in det.streams

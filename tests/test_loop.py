@@ -106,7 +106,8 @@ class TestLoopClosure:
     def test_detect_and_correct(self, rng):
         m, db, poses_true, drifted_poses, pts, ids_a, ids_c = \
             build_loop_scenario(rng)
-        lc = LoopClosureSettings(min_cluster_size=2, min_feature_matches=15)
+        lc = LoopClosureSettings(min_cluster_size=2, min_feature_matches=15,
+                                 min_frame_gap=0)
         rs = RelocalizationSettings()
         det = closure.detect_loop(jax.random.key(1), m, db, 8, lc, rs, FX)
         assert bool(det.found)
@@ -133,7 +134,8 @@ class TestLoopClosure:
         from mageslam_tpu.io.synthetic import default_calibration
         m, db, poses_true, drifted_poses, pts, ids_a, ids_c = \
             build_loop_scenario(rng)
-        lc = LoopClosureSettings(min_cluster_size=2, min_feature_matches=15)
+        lc = LoopClosureSettings(min_cluster_size=2, min_feature_matches=15,
+                                 min_frame_gap=0)
         rs = RelocalizationSettings()
         det = closure.detect_loop(jax.random.key(1), m, db, 8, lc, rs, FX)
         m2 = closure.apply_similarity_correction(m, 8, det)
@@ -150,7 +152,8 @@ class TestLoopClosure:
 
     def test_no_loop_on_distinct_place(self, rng):
         m, db, *_ = build_loop_scenario(rng)
-        lc = LoopClosureSettings(min_cluster_size=2, min_feature_matches=15)
+        lc = LoopClosureSettings(min_cluster_size=2, min_feature_matches=15,
+                                 min_frame_gap=0)
         rs = RelocalizationSettings()
         # keyframe 4 is in the far place; its BoW matches are its own
         # covisible set (excluded) -> no loop
@@ -162,7 +165,8 @@ class TestPoseGraphLoopCorrection:
     def test_propagates_and_matches_similarity_on_covisible(self, rng):
         m, db, poses_true, drifted_poses, pts, ids_a, ids_c = \
             build_loop_scenario(rng)
-        lc = LoopClosureSettings(min_cluster_size=2, min_feature_matches=15)
+        lc = LoopClosureSettings(min_cluster_size=2, min_feature_matches=15,
+                                 min_frame_gap=0)
         rs = RelocalizationSettings()
         det = closure.detect_loop(jax.random.key(1), m, db, 8, lc, rs, FX)
         assert bool(det.found)
@@ -190,7 +194,8 @@ class TestPoseGraphLoopCorrection:
 
     def test_not_found_is_identity(self, rng):
         m, db, *_ = build_loop_scenario(rng)
-        lc = LoopClosureSettings(min_cluster_size=2, min_feature_matches=15)
+        lc = LoopClosureSettings(min_cluster_size=2, min_feature_matches=15,
+                                 min_frame_gap=0)
         rs = RelocalizationSettings()
         det = closure.detect_loop(jax.random.key(2), m, db, 4, lc, rs, FX)
         assert not bool(det.found)
