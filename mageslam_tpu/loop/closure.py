@@ -200,13 +200,18 @@ def pose_graph_loop_correction(m: ms.MapState, kf_slot, det: LoopDetection,
     kf_pose = jnp.where(m.kf_valid[:, None], new_poses, m_corr.kf_pose)
 
     # move each point by its anchor keyframe's correction delta (world
-    # frame): X' = (S_new^-1 ∘ S_old)(X); fixed anchors give the identity
+    # frame): X' = (S_new^-1 ∘ S_old)(X); fixed anchors give the identity.
+    # A point whose anchor keyframe was CULLED (slot dead or recycled)
+    # must NOT be moved — its clipped slot index would select an
+    # arbitrary keyframe's delta and scatter the point (this corrupted
+    # whole maps on long runs before the kf_valid guard).
     anchor = jnp.clip(m.mp_anchor_kf, 0, K - 1)
     deltas = jax.vmap(lambda new, old: sim3.sim3_compose(
         sim3.sim3_inverse(new), old))(res.states, states_init)
     moved = jax.vmap(sim3.sim3_apply)(deltas[anchor],
                                       m_corr.mp_pos[:, None, :])[:, 0, :]
-    move_ok = (m.mp_valid & ~fixed[anchor])[:, None]
+    move_ok = (m.mp_valid & ~fixed[anchor] & m.kf_valid[anchor]
+               & (m.mp_anchor_kf >= 0))[:, None]
     mp_pos = jnp.where(move_ok, moved, m_corr.mp_pos)
     corrected = m_corr._replace(kf_pose=kf_pose, mp_pos=mp_pos)
     # no detected loop -> the whole correction is a no-op
