@@ -257,3 +257,70 @@ class TestPoseHistory:
             h = ph.add_pose(h, i, float(i), p, 0, p)
         assert int(h.cursor) == 2
         assert set(np.asarray(h.frame_id).tolist()) == {4, 5, 2, 3}
+
+
+class TestRefreshPointRepresentatives:
+    """MapPoint::UpdateRepresentativeDescriptor /
+    UpdateMeanViewDirectionAndDistances parity (MapPoint.cpp:80-131)."""
+
+    def test_medoid_and_mean_direction(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from mageslam_tpu.geometry import se3
+        from mageslam_tpu.mapstore import map_state as ms
+        from mageslam_tpu.tracking.frontend import FrameFeatures
+
+        K, F, L = 8, 16, 32
+        m = ms.empty_map(K, F, L)
+        pt = jnp.asarray([[0.0, 0.0, 6.0]])
+        desc0 = jnp.zeros((F, 8), jnp.uint32)
+        m, ids = ms.allocate_map_points(
+            m, pt, desc0[:1], jnp.asarray([[0.0, 0.0, 1.0]]), 0,
+            jnp.ones(1, bool))
+
+        # three keyframes observe the point with descriptors A, A, B:
+        # the medoid (min summed Hamming) must be A
+        descA = jnp.zeros(8, jnp.uint32)
+        descB = jnp.full(8, 0xFFFFFFFF, jnp.uint32)
+        per_kf_desc = [descA, descA, descB]
+        centers = [jnp.asarray([1.5, 0.0, 0.0]),
+                   jnp.asarray([-1.5, 0.0, 0.0]),
+                   jnp.asarray([0.0, 1.0, 0.0])]
+        for k in range(3):
+            pose = se3.make_pose(jnp.asarray([1.0, 0, 0, 0]),
+                                 -centers[k])  # R=I -> t = -center
+            feats = FrameFeatures(
+                uv=jnp.zeros((F, 2)), xn_undist=jnp.zeros((F, 2)),
+                response=jnp.ones(F), angle=jnp.zeros(F),
+                octave=jnp.zeros(F, jnp.int32),
+                desc=jnp.tile(per_kf_desc[k][None], (F, 1)),
+                valid=jnp.arange(F) < 4)
+            assoc = jnp.full(F, -1, jnp.int32).at[0].set(ids[0])
+            m, _ = ms.insert_keyframe(m, pose, feats, assoc, k)
+
+        # scramble the stored representative, then refresh
+        m = m._replace(mp_desc=m.mp_desc.at[ids[0]].set(
+            jnp.full(8, 0x0F0F0F0F, jnp.uint32)))
+        m2 = ms.refresh_point_representatives(m)
+        np.testing.assert_array_equal(np.asarray(m2.mp_desc[ids[0]]),
+                                      np.asarray(descA))
+        # mean viewing direction: average of unit(center->point) vectors
+        dirs = [np.asarray(pt[0] - c) for c in centers]
+        dirs = [d / np.linalg.norm(d) for d in dirs]
+        mean = np.sum(dirs, axis=0)
+        mean /= np.linalg.norm(mean)
+        np.testing.assert_allclose(np.asarray(m2.mp_normal[ids[0]]),
+                                   mean, atol=1e-5)
+
+    def test_unobserved_points_untouched(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from mageslam_tpu.mapstore import map_state as ms
+        m = ms.empty_map(4, 8, 16)
+        m = m._replace(
+            mp_valid=jnp.zeros(16, bool).at[3].set(True),
+            mp_desc=m.mp_desc.at[3].set(jnp.full(8, 7, jnp.uint32)))
+        m2 = ms.refresh_point_representatives(m)
+        np.testing.assert_array_equal(np.asarray(m2.mp_desc[3]),
+                                      np.full(8, 7, np.uint32))
