@@ -153,3 +153,80 @@ class TestEssentialRansac:
         z1 = np.asarray(se3.pose_apply(res.rel_pose, np.asarray(
             pts / np.linalg.norm(np.asarray(se3.pose_t(rel_gt))))))[:, 2]
         assert (z1 > 0).mean() > 0.95
+
+
+class TestPnPRansacWideBaseline:
+    """The r3 relocalization machinery: PROSAC quality weighting and
+    pose-seeded minimal-4 GN hypotheses must solve correspondence sets
+    that defeat plain 6-point DLT RANSAC (~40% inliers, 64 budget)."""
+
+    def _problem(self, inlier_frac=0.4, n=80, seed=0):
+        import numpy as np
+        import jax.numpy as jnp
+        from mageslam_tpu.geometry import se3
+        rng = np.random.default_rng(seed)
+        pts = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                        rng.uniform(4, 9, n)], -1).astype(np.float32)
+        pose_gt = se3.make_pose(
+            se3.so3_exp(jnp.asarray([0.05, -0.3, 0.02])),
+            jnp.asarray([0.4, -0.1, 0.3]))
+        y = np.asarray(se3.pose_apply(pose_gt[None], jnp.asarray(pts)))
+        xn = (y[:, :2] / y[:, 2:3]).astype(np.float32)
+        xn += rng.normal(0, 1.4 / 272.0, xn.shape).astype(np.float32)
+        n_out = int(n * (1 - inlier_frac))
+        out_idx = rng.choice(n, n_out, replace=False)
+        xn[out_idx] = rng.uniform(-0.5, 0.5, (n_out, 2)).astype(np.float32)
+        # true matches have lower Hamming "distance"
+        dist = np.full(n, 25.0, np.float32)
+        dist[out_idx] = 45.0
+        inlier_mask = np.ones(n, bool)
+        inlier_mask[out_idx] = False
+        return (jnp.asarray(pts), jnp.asarray(xn), jnp.asarray(dist),
+                pose_gt, inlier_mask)
+
+    def test_quality_and_init_pose_recover(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from mageslam_tpu.geometry import se3
+        from mageslam_tpu.solvers import pnp
+        pts, xn, dist, pose_gt, inl = self._problem()
+        # init pose: a keyframe-like pose in the basin (offset from gt)
+        init = se3.pose_compose(
+            se3.make_pose(se3.so3_exp(jnp.asarray([0.0, 0.15, 0.0])),
+                          jnp.asarray([0.3, 0.0, -0.2])), pose_gt)
+        quality = jnp.exp(-dist / 12.0)
+        res = pnp.pnp_ransac(
+            jax.random.key(3), pts, xn, jnp.ones(pts.shape[0], bool),
+            inlier_thresh=jnp.float32(8.0 / 272.0),
+            huber_delta=jnp.float32(4.0 / 272.0),
+            num_hypotheses=256, quality=quality, init_pose=init)
+        assert int(res.num_inliers) >= int(0.85 * inl.sum())
+        c_err = float(jnp.linalg.norm(
+            se3.camera_center(res.pose) - se3.camera_center(pose_gt)))
+        assert c_err < 0.05, c_err
+        # the found inliers are (mostly) the true ones
+        found = np.asarray(res.inliers)
+        precision = (found & inl).sum() / max(found.sum(), 1)
+        assert precision > 0.9, precision
+
+    def test_polish_ignores_outlier_majority(self):
+        """The winner's consensus-only polish must not be dragged by a
+        60 percent outlier fraction (regression for the refine-over-all
+        divergence that silently broke wide-baseline recovery)."""
+        import jax
+        import jax.numpy as jnp
+        from mageslam_tpu.geometry import se3
+        from mageslam_tpu.solvers import pnp
+        pts, xn, dist, pose_gt, inl = self._problem(inlier_frac=0.4,
+                                                    seed=5)
+        quality = jnp.exp(-dist / 12.0)
+        init = pose_gt  # perfect seed: failure means the polish diverges
+        res = pnp.pnp_ransac(
+            jax.random.key(11), pts, xn, jnp.ones(pts.shape[0], bool),
+            inlier_thresh=jnp.float32(8.0 / 272.0),
+            huber_delta=jnp.float32(4.0 / 272.0),
+            num_hypotheses=128, quality=quality, init_pose=init)
+        c_err = float(jnp.linalg.norm(
+            se3.camera_center(res.pose) - se3.camera_center(pose_gt)))
+        assert c_err < 0.05, c_err
