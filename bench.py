@@ -101,6 +101,22 @@ def kernel_table(cal, settings):
     return rows
 
 
+def kernel_table_main():
+    """Fresh-process kernel timing entry (``python bench.py --kernel-table``).
+
+    MUST run in its own process: timing kernels in the same process right
+    after an engine drive inflates results ~50x (dispatch queue + allocator
+    pressure — the r2 "28 ms local BA" artifact, BASELINE.md measurement
+    note).  The parent invokes this as a subprocess and relays the line."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from mageslam_tpu.io.synthetic import default_calibration
+    rows = kernel_table(default_calibration(), ref_settings())
+    print("KERNEL_TABLE " + json.dumps(
+        {k: round(float(v), 3) for k, v in rows.items()}))
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -168,17 +184,32 @@ def main():
     }))
     sys.stdout.flush()
 
-    # kernel speed-of-light table -> stderr (one-line-stdout contract)
+    # kernel speed-of-light table -> stderr (one-line-stdout contract).
+    # Run in a FRESH SUBPROCESS: in-process timing after the engine drive
+    # inflates kernel numbers ~50x (the r2/r3 "29 ms local BA" artifact —
+    # true value 0.3-0.5 ms; BASELINE.md measurement note).
     try:
-        rows = kernel_table(cal, settings)
-        rows["steady_fps"] = fps
+        import subprocess
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()),
+             "--kernel-table"],
+            capture_output=True, text=True, timeout=600)
+        line = next((ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("KERNEL_TABLE ")), None)
+        if line is None:
+            raise RuntimeError(
+                f"no KERNEL_TABLE line, rc={proc.returncode}: "
+                f"{proc.stderr[-500:]}")
+        rows = json.loads(line[len("KERNEL_TABLE "):])
+        rows["steady_fps"] = round(fps, 3)
         rows["tracked_frames"] = n_tracked
-        print("KERNEL_TABLE " + json.dumps(
-            {k: round(float(v), 3) for k, v in rows.items()}),
-            file=sys.stderr)
+        print("KERNEL_TABLE " + json.dumps(rows), file=sys.stderr)
     except Exception as e:  # the primary metric already printed
         print(f"kernel table failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
-    main()
+    if "--kernel-table" in sys.argv:
+        kernel_table_main()
+    else:
+        main()

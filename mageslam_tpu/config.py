@@ -301,6 +301,11 @@ class RelocalizationSettings:  # MageSettings.h RelocalizationSettings
     min_brute_force_correspondences: int = 20
     min_radius_match_correspondences: int = 15
     min_map_points: int = 10
+    # Soft inlier gate on the per-candidate PnP HYPOTHESIS (no reference
+    # analog by name — the reference applies MinMapPoints after the full
+    # TrackLocalMap re-track, PoseEstimationWorker.cpp:90-97; our engines
+    # do the same, so this pre-gate only prunes hopeless candidates).
+    min_pnp_hypothesis_inliers: int = 5
     # Deviation from the reference default (0.4): our reloc pool is the
     # candidate's covisible-cluster map points (~2.5x a single keyframe's
     # associations), so the same true-match count is a smaller fraction of
@@ -450,6 +455,7 @@ class CapacitySettings:
     ransac_hypotheses: int = 128     # vmapped RANSAC hypothesis batch
     pnp_ransac_hypotheses: int = 64
     match_candidates: int = 16       # top-k candidate slots in radius match
+    track_candidates: int = 1024     # compacted tracking candidate slots
     pose_history_size: int = 10000
     bow_query_results: int = 8
     vocab_nodes: int = 256           # BoW tree node capacity

@@ -52,16 +52,13 @@ def build_global_problem(m: ms.MapState,
 
     # gauge: monocular BA has a SEVEN-dof gauge — one fixed pose pins 6,
     # but a similarity about that camera's center preserves every
-    # reprojection, so scale is an exact null mode that LM wanders along
-    # (see local_ba.py anchoring note).  Pin exactly the 7th dof with a
-    # stiff DISTANCE tether between the two oldest keyframes: unlike
-    # freezing the second pose, this leaves its direction/rotation free —
-    # freezing both locked the init pair's estimation error in forever
-    # (measured as a U-shaped ATE profile with 0.3-unit error frozen into
-    # the early trajectory).
-    # Freeze the TWO oldest keyframes (frozen baseline = hard scale
-    # gauge; a soft distance tether loses to the summed reprojection
-    # terms at any non-fighting weight — see local_ba.py note).
+    # reprojection, so scale is an exact null mode that LM wanders along.
+    # SHIPPED DESIGN: freeze the TWO oldest keyframes — their baseline is
+    # a hard scale gauge.  (A soft distance tether between the pair was
+    # tried instead of the second freeze and REJECTED: at any weight low
+    # enough not to fight real corrections it is dominated by the summed
+    # reprojection terms and scale wanders again — measured ring ATE
+    # 2.12 m with the tether vs 0.12 m frozen; see local_ba.py note.)
     fid = jnp.where(m.kf_valid, m.kf_frame_id, jnp.int32(2**30))
     order_old = jnp.argsort(fid)
     kf_fixed = (~m.kf_valid) | (jnp.arange(K) == order_old[0]) \
@@ -143,7 +140,14 @@ def global_bundle_adjust_distributed(m: ms.MapState, huber_delta,
         sp, jnp.asarray(huber_delta, jnp.float32),
         jnp.asarray(max_outlier_error, jnp.float32), mesh,
         num_steps=num_steps, lam0=lam0)
+    # Host round-trip keeps the write-back correct in BOTH deployment
+    # modes: single-process (mesh fully addressable) and multi-controller
+    # (jax.distributed — the sharded points span non-addressable devices,
+    # so they are first all-gathered to a replicated layout whose local
+    # shard IS the full array on every process).
+    points_h = dba.replicated_host_copy(res.points, mesh)
+    poses_h = dba.replicated_host_copy(res.kf_poses, mesh)
     m2 = ms.apply_ba_update(m, win.kf_list, win.kf_list_valid,
-                            res.kf_poses, win.mp_list, win.mp_list_valid,
-                            jax.device_get(res.points))
+                            jnp.asarray(poses_h), win.mp_list,
+                            win.mp_list_valid, jnp.asarray(points_h))
     return m2, res

@@ -90,16 +90,16 @@ def build_local_window(m: ms.MapState, center_kf,
     # every reprojection invariant, so scale is an exact null mode unless
     # something else pins it.  Measured on a ground-truth-initialized
     # window with one fixed camera: LM slid the frontier to 0.37x scale
-    # while the cost FELL; with the gauge pinned it stayed put.  Freeze
-    # the oldest window keyframe (6 dof) and pin the 7th dof with a stiff
-    # DISTANCE tether to the second-oldest — unlike freezing that pose
-    # too, the tether leaves its direction/rotation free to refine.
-    # Freeze the oldest window keyframe, and the second-oldest too when
-    # fewer than 4 distant anchors carry real observation mass (a soft
-    # distance tether was tried instead of the second freeze and lost:
-    # at any weight low enough not to fight real corrections it is
-    # dominated by the summed reprojection terms and scale wanders again
-    # — measured ring ATE 2.12 m with the tether vs 0.12 m frozen).
+    # while the cost FELL; with the gauge pinned it stayed put.
+    # SHIPPED DESIGN: freeze the oldest window keyframe (6 dof), and the
+    # second-oldest too when fewer than 4 distant anchors carry real
+    # observation mass — with >=4 fixed distant keyframes those already
+    # pin scale.  (A soft distance tether to the second-oldest was tried
+    # instead of the second freeze and REJECTED: at any weight low enough
+    # not to fight real corrections it is dominated by the summed
+    # reprojection terms and scale wanders again — measured ring ATE
+    # 2.12 m with the tether vs 0.12 m frozen.  The tether slot below is
+    # an inert zero-weight pytree placeholder, not an active constraint.)
     fid = jnp.where(win_valid, m.kf_frame_id[win_idx], jnp.int32(2**30))
     order_old = jnp.argsort(fid)
     kf_adjustable = kf_adjustable.at[order_old[0]].set(False)

@@ -45,14 +45,40 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
+def replicated_host_copy(arr, mesh: Mesh):
+    """Full host copy of a mesh-resident array in BOTH deployment modes.
+
+    Single-process: plain device_get.  Multi-controller (jax.distributed):
+    the array may span non-addressable devices, so all-gather it to a
+    replicated layout first — then every process's local shard 0 IS the
+    complete array."""
+    if arr.is_fully_addressable:
+        return jax.device_get(arr)
+    rep = jax.jit(lambda x: x,
+                  out_shardings=NamedSharding(mesh, P()))(arr)
+    import numpy as np
+    return np.asarray(rep.addressable_data(0))
+
+
 def shard_problem(problem: BAProblem, mesh: Mesh) -> BAProblem:
     """Place the problem: L-dim arrays sharded over the mesh axis, keyframe
     and tether arrays replicated.  L must be divisible by the shard count
-    (pad with invalid landmarks otherwise)."""
+    (pad with invalid landmarks otherwise).
+
+    Multi-controller mode (jax.process_count() > 1): the mesh spans
+    non-addressable devices, so arrays are assembled per-process from the
+    (identical, SPMD-replicated) host data via make_array_from_callback —
+    each process materializes only its addressable shards."""
+    import numpy as np
     sharded = NamedSharding(mesh, P(AXIS))
     repl = NamedSharding(mesh, P())
+    multiprocess = jax.process_count() > 1
 
     def put(x, s):
+        if multiprocess:
+            xnp = np.asarray(x)
+            return jax.make_array_from_callback(
+                xnp.shape, s, lambda idx, xnp=xnp: xnp[idx])
         return jax.device_put(x, s)
 
     return BAProblem(

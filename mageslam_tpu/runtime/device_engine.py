@@ -49,7 +49,8 @@ CODE_TRACKING = 2
 CODE_RELOCALIZING = 3
 
 INIT_RING = 8          # buffered candidate frames for initialization
-OUT_WIDTH = 16         # packed output floats per frame
+OUT_WIDTH = 24         # packed output floats per frame (incl. per-stage
+#                        determinism fingerprints, slots 14-20)
 PENDING_RING = 4       # pending-keyframe queue bound (MageSettings.h:255
 #                        MaxPendingKeyframes = 4; older entries dropped)
 
@@ -219,7 +220,8 @@ def _reset_slam_state(st: EngineState,
     # any pending third-frame confirmation)
 
 
-def _pack_output(code, pose, n_inliers, n_kf, n_mp, loops, is_kf, n_feats):
+def _pack_output(code, pose, n_inliers, n_kf, n_mp, loops, is_kf, n_feats,
+                 stage_fp=None):
     out = jnp.zeros(OUT_WIDTH, jnp.float32)
     out = out.at[0].set(code.astype(jnp.float32))
     out = out.at[1:8].set(pose)
@@ -229,7 +231,30 @@ def _pack_output(code, pose, n_inliers, n_kf, n_mp, loops, is_kf, n_feats):
     out = out.at[11].set(loops.astype(jnp.float32))
     out = out.at[12].set(is_kf.astype(jnp.float32))
     out = out.at[13].set(n_feats.astype(jnp.float32))
+    if stage_fp is not None:
+        out = out.at[14:14 + stage_fp.shape[0]].set(stage_fp)
     return out
+
+
+def _frontend_fingerprint(feats: FrameFeatures) -> jnp.ndarray:
+    """Scalar checksum of the feature-extraction stage (deterministic:
+    fixed XLA reduction order on a given platform)."""
+    v = feats.valid.astype(jnp.float32)
+    pc = jax.lax.population_count(feats.desc).astype(jnp.float32)
+    return (jnp.sum(feats.uv * v[:, None]) + jnp.sum(feats.response * v)
+            + jnp.sum(pc * v[:, None]))
+
+
+def _map_fingerprints(m: ms.MapState) -> tuple:
+    """(poses_fp, points_fp, assoc_fp): checksums of the three mapping-
+    commit products — keyframe poses, landmark positions, associations."""
+    poses_fp = jnp.sum(m.kf_pose
+                       * m.kf_valid.astype(jnp.float32)[:, None])
+    points_fp = jnp.sum(m.mp_pos
+                        * m.mp_valid.astype(jnp.float32)[:, None])
+    assoc_fp = jnp.sum(jnp.where(m.kf_assoc >= 0, m.kf_assoc, 0)
+                       .astype(jnp.float32))
+    return poses_fp, points_fp, assoc_fp
 
 
 def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
@@ -862,11 +887,21 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
             use_orientation=bool(fe.use_orientation),
             cells_x=int(fe.num_cells_x), cells_y=int(fe.num_cells_y))
         st = feed_bow_training(st, feats)
+        fp_frontend = _frontend_fingerprint(feats)
 
         # advance the mapping pipeline FIRST so this frame's tracking
         # reads the newest commit (TrackingReadState is granted between
         # every mapping state, Runtime.cpp:589-599)
         st = jax.lax.cond(st.initialized, advance_mapping, lambda s: s, st)
+        # mapping-stage fingerprints, taken AFTER the mapping advance and
+        # BEFORE tracking mutates state: a divergence here localizes to
+        # the mapping pipeline (insert/new-points/BA/cull/loop), one that
+        # first appears in the tracking fingerprints localizes to tracking
+        # (the per-stage densification of determinator.h's ~40
+        # DETERMINISTIC_CHECK sites, e.g. MappingWorker.cpp:243-246)
+        fp_poses, fp_points, fp_assoc = _map_fingerprints(st.map)
+        fp_ba = st.lam + st.ba_steps_left.astype(jnp.float32) \
+            + st.ba_active.astype(jnp.float32) * 0.5
 
         st, code, pose, n_inl = jax.lax.cond(
             st.initialized,
@@ -874,12 +909,20 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
                                     ext_prior_ok),
             lambda st: init_branch(st, feats, ts, fid),
             st)
+        # post-tracking fingerprints: association row + scheduler scalars
+        _, _, fp_assoc_post = _map_fingerprints(st.map)
+        fp_sched = st.pend_count.astype(jnp.float32) \
+            + 8.0 * st.frames_since_kf.astype(jnp.float32) \
+            + 1024.0 * st.lost_count.astype(jnp.float32) \
+            + 0.125 * st.covis_threshold
+        stage_fp = jnp.stack([fp_frontend, fp_poses, fp_points, fp_assoc,
+                              fp_ba, fp_assoc_post, fp_sched])
         out = _pack_output(code, pose, n_inl,
                            jnp.sum(st.map.kf_valid),
                            jnp.sum(st.map.mp_valid), st.loops_closed,
                            (code == CODE_TRACKING)
                            & (st.frames_since_kf == 0),
-                           jnp.sum(feats.valid))
+                           jnp.sum(feats.valid), stage_fp)
         return st, out
 
     def step(st: EngineState, img: jnp.ndarray, ts, fid, ext_prior=None):

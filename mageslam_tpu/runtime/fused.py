@@ -146,7 +146,23 @@ class MageSlamTPUFused(SensorFacadeMixin):
         outs = np.asarray(stacked)
         for (fid, ts), row in zip(meta, outs):
             if self.determinator is not None:
-                self.determinator.check("FusedEngine", fid, row)
+                det = self.determinator
+                # whole-row stream (r3 behavior) + per-STAGE streams from
+                # the packed fingerprints (device_engine._step): a replay
+                # divergence now localizes to the stage whose stream
+                # diverges first at that frame — the densified analog of
+                # the reference's ~40 DETERMINISTIC_CHECK sites spread
+                # over the tracking/mapping threads
+                det.check("FusedEngine", fid, row)
+                det.check("Frontend", fid, row[13:15])
+                det.check("Mapping/kf_poses", fid, row[15])
+                det.check("Mapping/points", fid, row[16])
+                det.check("Mapping/assoc", fid, row[17])
+                det.check("Mapping/ba", fid, row[18])
+                det.check("Tracking/pose", fid, row[0:8])
+                det.check("Tracking/inliers", fid, row[8])
+                det.check("Tracking/assoc", fid, row[19])
+                det.check("Scheduler", fid, row[20])
             code = int(row[0])
             state = _CODE_TO_STATE.get(code, TrackingState.SKIPPED)
             pose = row[1:8].copy() if state == TrackingState.TRACKING \

@@ -130,6 +130,15 @@ class MageSlamTPU(SensorFacadeMixin):
         self._init_probation = False  # third-frame confirmation pending
         self._init_points = 0
 
+    def _det(self, channel: str, fid, *values):
+        """Determinism checkpoint (DETERMINISTIC_CHECK analog): no-op
+        without a determinator.  The host engine checkpoints every
+        pipeline stage — the densified equivalent of the reference's ~40
+        per-thread sites (MappingWorker.cpp:243-246,
+        ImageAnalyzer.cpp:96,122)."""
+        if self.determinator is not None:
+            self.determinator.check(channel, fid, *values)
+
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
@@ -149,6 +158,8 @@ class MageSlamTPU(SensorFacadeMixin):
             gray, self.cal, self.settings.mono.camera,
             self.settings.capacity.max_features)
         self._feed_bow_training(feats)
+        self._det("Frontend", fid, np.asarray(feats.uv),
+                  np.asarray(feats.desc), np.asarray(feats.valid))
         self.mediator.send(AnalysisCompleted(fid, int(feats.count)))
 
         if not self._initialized:
@@ -345,9 +356,12 @@ class MageSlamTPU(SensorFacadeMixin):
             prior = self._prior_provider.get_pose_for_time(ts)
         if prior is None:
             prior = self._motion_prior()
+        self._det("Tracking/prior", fid, np.asarray(prior))
         tres = track.track_frame(self._map, feats, prior, self._last_kf,
                                  self.cal, s,
                                  max_local_kf=s.capacity.local_ba_keyframes)
+        self._det("Tracking/assoc", fid, np.asarray(tres.assoc),
+                  int(tres.num_matched))
         # third-frame confirmation (MinThirdFrameMatchPercentage,
         # MageSettings.h:102): the first tracked frame after init must
         # re-find enough of the init map points or the init was a bad
@@ -617,12 +631,15 @@ class MageSlamTPU(SensorFacadeMixin):
             clr = cheap_loop_closure(self._map, slot, self.cal,
                                      s.loop_closure)
             self._map = clr.map
+            self._det("Mapping/cheap_lc", fid,
+                      np.asarray(self._map.kf_assoc[slot]))
 
         # 2. recent-map-point culling
         self._map, _ = culling.cull_recent_map_points(
             self._map,
             jnp.float32(s.track_local_map.recent_map_point_pct_success),
             jnp.int32(s.mapping.min_num_keyframes_for_map_point_culling))
+        self._det("Mapping/cull_recent", fid, self.num_map_points)
 
         # 3. new map points
         npres = new_points.create_new_map_points(
@@ -631,6 +648,8 @@ class MageSlamTPU(SensorFacadeMixin):
             num_candidates=int(s.mapping.new_map_points
                                .max_frames_for_new_points_creation))
         self._map = npres.map
+        self._det("Mapping/new_points", fid, int(npres.num_created),
+                  np.asarray(self._map.mp_pos))
 
         # 4. local BA with adaptive covis threshold + persisted lambda
         cap = s.capacity
@@ -694,6 +713,8 @@ class MageSlamTPU(SensorFacadeMixin):
         win2, res2 = run_window(win2)
         if s.track_local_map.unassociate_outliers:
             self._map = local_ba.unassociate_outliers(self._map, win2, res2)
+        self._det("Mapping/ba", fid, float(res2.mean_sq_error),
+                  float(res2.lam), np.asarray(self._map.kf_pose))
         self.mediator.send(HistoryUpdated("local_ba"))
 
         # 5. keyframe culling + history re-anchoring
@@ -723,6 +744,8 @@ class MageSlamTPU(SensorFacadeMixin):
         if (s.loop_closure.enable_loop_closure and self._bow_trained
                 and self.num_keyframes >= s.loop_closure.min_keyframe):
             self._attempt_loop_closure(slot)
+            self._det("Mapping/loop", fid, self._loops_closed,
+                      np.asarray(self._map.kf_pose[slot]))
         return slot
 
     def _attempt_loop_closure(self, slot: int):

@@ -107,7 +107,7 @@ def _residuals(problem: BAProblem, kf_poses, points):
     xn, z, _, _ = _project_obs(kf_poses, points, problem.obs_kf)
     r = xn - problem.obs_xn
     good = problem.obs_valid & problem.point_valid[:, None] & (z > 0)
-    return r, good
+    return r, good, z
 
 
 def _tether_residual(pose_i, pose_j, ttype, target_pose, target_dist):
@@ -125,7 +125,7 @@ def _tether_residual(pose_i, pose_j, ttype, target_pose, target_dist):
 
 
 def _error(problem, kf_poses, points, huber_delta, axis_name=None):
-    r, good = _residuals(problem, kf_poses, points)
+    r, good, z = _residuals(problem, kf_poses, points)
     err = jnp.sum(r * r, -1)
     # robustified error (Huber rho), like g2o's active chi2
     d2 = huber_delta ** 2
@@ -141,8 +141,8 @@ def _error(problem, kf_poses, points, huber_delta, axis_name=None):
     # the frontier step collapsed to 0.39x in 80 accepted steps.  A flat
     # 1.0 (normalized-units^2) per lost observation makes such steps
     # strictly unprofitable; genuinely-bad observations still get
-    # classified as outliers at the end.
-    _, z, _, _ = _project_obs(kf_poses, points, problem.obs_kf)
+    # classified as outliers at the end.  (z reused from _residuals — no
+    # second projection pass.)
     behind = problem.obs_valid & problem.point_valid[:, None] & (z <= 0)
     e = e + jnp.sum(behind.astype(jnp.float32))
 
@@ -182,7 +182,7 @@ def _build_normal_eq(problem: BAProblem, kf_poses, points, huber_delta,
     K = kf_poses.shape[0]
     L, M = problem.obs_kf.shape
 
-    r, good = _residuals(problem, kf_poses, points)
+    r, good, _ = _residuals(problem, kf_poses, points)
     xn, z, y, poses = _project_obs(kf_poses, points, problem.obs_kf)
     rn = jnp.linalg.norm(r, axis=-1)
     w = huber_weights(rn, huber_delta) * good          # (L, M)
@@ -348,7 +348,7 @@ def bundle_adjust_impl(problem: BAProblem,
     (poses, points, lam, _), _ = jax.lax.scan(lm_step, init, None,
                                               length=num_steps)
 
-    r, good = _residuals(problem, poses, points)
+    r, good, _ = _residuals(problem, poses, points)
     err = jnp.sum(r * r, -1)
     outliers = good & (err > max_outlier_error ** 2)
     inl = good & ~outliers

@@ -116,7 +116,6 @@ def homography_ransac(key: jax.Array, xn0: jnp.ndarray, xn1: jnp.ndarray,
     rows_v = jnp.stack([zeros, zeros, zeros, x0, y0, ones,
                         -y1 * x0, -y1 * y0, -y1], -1)
     A = jnp.concatenate([rows_u, rows_v], 0)          # (2N, 9)
-    w = jnp.concatenate([inl, inl], 0)
 
     def refit(carry, _):
         H, inl, d = carry

@@ -111,13 +111,14 @@ def relocalize(key: jax.Array, m: ms.MapState, feats: FrameFeatures,
             jnp.int32(-1))
     (n, pose, kf), _ = jax.lax.scan(one_candidate, init,
                                     (cand_idx, cand_ok, keys))
-    # soft PnP gate: half of MinMapPoints.  A candidate pose is only a
-    # HYPOTHESIS here — both engines (and the reference pipeline,
-    # PoseEstimationWorker.cpp:90-97 -> TrackLocalMapWorker) re-track the
-    # frame against the full local map before accepting, and that
-    # verification applies the full MinMapPoints-strength inlier bar, so a
-    # borderline PnP consensus costs nothing when wrong and recovers the
-    # genuinely-lost frames a hard gate rejects.
+    # soft PnP gate (RelocalizationSettings.min_pnp_hypothesis_inliers).
+    # A candidate pose is only a HYPOTHESIS here — both engines (and the
+    # reference pipeline, PoseEstimationWorker.cpp:90-97 ->
+    # TrackLocalMapWorker) re-track the frame against the full local map
+    # before accepting, and that verification applies the full
+    # MinMapPoints-strength inlier bar, so a borderline PnP consensus
+    # costs nothing when wrong and recovers the genuinely-lost frames a
+    # hard gate rejects.
     return RelocResult(
-        success=n >= jnp.maximum(jnp.int32(s.min_map_points) // 2, 5),
+        success=n >= jnp.int32(s.min_pnp_hypothesis_inliers),
         pose=pose, num_inliers=n, candidate_kf=kf)

@@ -79,15 +79,29 @@ def track_frame(m: ms.MapState, feats: FrameFeatures,
 
     # ---- candidate COMPACTION: every downstream op (matching matrices,
     # pose Jacobians) runs on C compact rows instead of all L landmark
-    # slots.  The visible local map is a few hundred points; C=1024 slots
-    # lose nothing while cutting the kernel's footprint ~L/C (measured
-    # 6.5 -> ~2 ms at L=8192 on v5e).  Selection is deterministic
-    # (lowest slot index first).
-    C = min(1024, L)
-    sel_score = jnp.where(candidates, L - jnp.arange(L, dtype=jnp.int32),
-                          0)
+    # slots.  The visible local map is a few hundred points; C slots
+    # (CapacitySettings.track_candidates) lose nothing while cutting the
+    # kernel's footprint ~L/C (measured 6.5 -> ~2 ms at L=8192 on v5e).
+    # When over capacity, selection is by local-keyframe observation
+    # count (slot index is only the deterministic tie-break) — with slot
+    # recycling, raw index order is neither recency nor quality, so an
+    # index-only rule could drop the best-covisible points in dense maps.
+    C = min(s.capacity.track_candidates, L)
+    mem = ms.member_matrix(m)
+    obs_count = jnp.sum(mem[kf_list] & kf_ok[:, None], axis=0)  # (L,)
+    sel_score = jnp.where(
+        candidates,
+        obs_count.astype(jnp.int32) * (L + 1)
+        + (L - jnp.arange(L, dtype=jnp.int32)),
+        0)
     svals, cidx = jax.lax.top_k(sel_score, C)
     c_valid = svals > 0                         # (C,)
+    # the quality score decides WHICH slots survive the cap; compact rows
+    # then go back to ascending slot order so downstream tie-breaks
+    # (assign_unique, refine ordering) are identical to the uncapped case
+    cidx = jnp.sort(jnp.where(c_valid, cidx, L))
+    c_valid = cidx < L
+    cidx = jnp.clip(cidx, 0, L - 1)
     pos_c = m.mp_pos[cidx]                      # (C, 3)
     desc_c = m.mp_desc[cidx]
     uv_pred_c = uv_pred[cidx]
@@ -171,7 +185,6 @@ def track_frame(m: ms.MapState, feats: FrameFeatures,
         jnp.where(inlier_c, cidx, -1))[:F]
 
     # ---- reference keyframe = most shared points among local kfs
-    mem = ms.member_matrix(m)
     shared = jnp.sum(mem & inlier_mp[None, :], axis=1)
     shared = jnp.where(m.kf_valid, shared, -1)
     ref_kf = jnp.argmax(shared).astype(jnp.int32)

@@ -67,10 +67,45 @@ class TestDeterminatorWiring:
         # divergence at (or after) the perturbed frame, never before
         assert diffs["FusedEngine"] >= 8, diffs
 
+    def test_fused_stage_streams_localize(self):
+        """Per-STAGE streams (r4 densification toward the reference's ~40
+        DETERMINISTIC_CHECK sites): an image perturbation at frame 8 must
+        show up in the Frontend stream AT exactly frame 8 — and no stage
+        stream may diverge before it (causality)."""
+        d1, d2 = Determinator(), Determinator()
+        _drive_fused(d1)
+        _drive_fused(d2, perturb=True)
+        stages = ["Frontend", "Mapping/kf_poses", "Mapping/points",
+                  "Mapping/assoc", "Mapping/ba", "Tracking/pose",
+                  "Tracking/inliers", "Tracking/assoc", "Scheduler"]
+        for st in stages:
+            assert st in d1.streams, st
+            assert len(d1.streams[st]) == N, st
+        diffs = d2.compare(d1)
+        # the root cause localizes: extraction sees the shifted image at
+        # frame 8 exactly
+        assert diffs["Frontend"] == 8, diffs
+        # nothing diverges before the perturbation
+        for st in stages:
+            assert diffs[st] == -1 or diffs[st] >= 8, (st, diffs)
+        # mapping reads the PREVIOUS frames' keyframes: its first
+        # divergence cannot precede the tracking one
+        trk = diffs["Tracking/pose"]
+        for st in ("Mapping/kf_poses", "Mapping/points"):
+            assert diffs[st] == -1 or trk == -1 or diffs[st] >= trk, \
+                (st, diffs)
+
     def test_host_streams_emitted(self):
         det = Determinator()
         eng = _drive_host(det)
         assert "TrackingThread" in det.streams
         assert len(det.streams["TrackingThread"]) >= 5
+        # densified per-stage sites (r4)
+        assert "Frontend" in det.streams
+        assert len(det.streams["Frontend"]) == N
+        assert "Tracking/prior" in det.streams
+        assert "Tracking/assoc" in det.streams
         if eng.num_keyframes > 2:
             assert "MappingThread" in det.streams
+            assert "Mapping/new_points" in det.streams
+            assert "Mapping/ba" in det.streams
