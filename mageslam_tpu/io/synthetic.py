@@ -21,10 +21,51 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from mageslam_tpu.geometry import se3
 from mageslam_tpu.geometry.camera import CameraCalibration
 
-import jax.numpy as jnp
+
+def _quat_to_mat_np(q: np.ndarray) -> np.ndarray:
+    """Pure-numpy wxyz quaternion -> rotation matrix (same convention as
+    geometry.se3.quat_to_mat).  The renderer must NOT touch jax: a single
+    device->host readback permanently switches the axon relay client into
+    its ~0.9 ms-per-dispatch sync mode (BASELINE.md round-4 note), which
+    would poison every timing taken after an image was rendered."""
+    w, x, y, z = (np.float64(v) for v in q[:4])
+    n = w * w + x * x + y * y + z * z
+    s = 0.0 if n < 1e-12 else 2.0 / n
+    wx, wy, wz = s * w * x, s * w * y, s * w * z
+    xx, xy, xz = s * x * x, s * x * y, s * x * z
+    yy, yz, zz = s * y * y, s * y * z, s * z * z
+    return np.array([[1 - yy - zz, xy - wz, xz + wy],
+                     [xy + wz, 1 - xx - zz, yz - wx],
+                     [xz - wy, yz + wx, 1 - xx - yy]])
+
+
+def _mat_to_quat_np(R: np.ndarray) -> np.ndarray:
+    """Pure-numpy rotation matrix -> wxyz quaternion (convention of
+    geometry.se3.mat_to_quat; same no-jax rationale as above)."""
+    R = np.asarray(R, np.float64)
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        q = np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                      (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    elif R[0, 0] > R[1, 1] and R[0, 0] > R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2
+        q = np.array([(R[2, 1] - R[1, 2]) / s, 0.25 * s,
+                      (R[0, 1] + R[1, 0]) / s, (R[0, 2] + R[2, 0]) / s])
+    elif R[1, 1] > R[2, 2]:
+        s = np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2]) * 2
+        q = np.array([(R[0, 2] - R[2, 0]) / s, (R[0, 1] + R[1, 0]) / s,
+                      0.25 * s, (R[1, 2] + R[2, 1]) / s])
+    else:
+        s = np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1]) * 2
+        q = np.array([(R[1, 0] - R[0, 1]) / s, (R[0, 2] + R[2, 0]) / s,
+                      (R[1, 2] + R[2, 1]) / s, 0.25 * s])
+    q = q / np.linalg.norm(q)
+    if q[0] < 0:
+        q = -q
+    return q
 
 
 def _value_noise(px: np.ndarray, py: np.ndarray, scale: float,
@@ -153,7 +194,7 @@ class SyntheticWorld:
 
         q = np.asarray(pose7[:4], np.float64)
         t = np.asarray(pose7[4:], np.float64)
-        R = np.asarray(se3.quat_to_mat(jnp.asarray(q, jnp.float32)))
+        R = _quat_to_mat_np(q)
 
         # background surface: cast rays to it, sample procedural texture
         fx, fy = float(cal.fx), float(cal.fy)
@@ -325,7 +366,7 @@ def orbit_trajectory(num_frames: int, radius: float = 0.8,
         # camera-from-world rotation: rows are camera axes
         Rcw = np.stack([right, upv, fwd])
         t = -Rcw @ c
-        q = np.asarray(se3.mat_to_quat(jnp.asarray(Rcw, jnp.float32)))
+        q = _mat_to_quat_np(Rcw)
         poses.append(np.concatenate([q, t]))
     return np.asarray(poses, np.float32)
 
@@ -354,7 +395,7 @@ def loop_trajectory(num_frames: int, radius: float = 3.0,
         upv = np.cross(fwd, right)
         Rcw = np.stack([right, upv, fwd])
         t = -Rcw @ c
-        q = np.asarray(se3.mat_to_quat(jnp.asarray(Rcw, jnp.float32)))
+        q = _mat_to_quat_np(Rcw)
         poses.append(np.concatenate([q, t]))
     return np.asarray(poses, np.float32)
 

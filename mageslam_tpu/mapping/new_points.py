@@ -34,12 +34,13 @@ class NewPointsResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "num_candidates",
-                                             "fx"))
+                                             "fx", "scale_factor"))
 def create_new_map_points(m: ms.MapState, new_kf,
                           cal: CameraCalibration,
                           settings: NewMapPointsCreationSettings,
                           fx: float,
-                          num_candidates: int = 5) -> NewPointsResult:
+                          num_candidates: int = 5,
+                          scale_factor: float = 1.5) -> NewPointsResult:
     s = settings
     K, F, L = ms.capacities(m)
     px = 1.0 / fx
@@ -84,8 +85,16 @@ def create_new_map_points(m: ms.MapState, new_kf,
                                    - se3.camera_center(pose_c)) + 1e-9
         d_i = jnp.linalg.norm(X - se3.camera_center(pose_i), axis=-1)
         ratio_ok = (d_i / baseline) > s.min_accepted_distance_ratio
+        # scale-consistency gate (NewMapPointsCreation.h:17-105 /
+        # MageSettings.h:153-155): the two observations of one 3D point
+        # must come from neighboring pyramid levels — a level-0 / level-2
+        # "match" across a 2.25x scale gap is a descriptor alias.
+        # Vacuous at 1 level (all octaves 0).
+        oct_i = m.kf_octave[new_kf]
+        oct_c = m.kf_octave[kc][jnp.clip(idx, 0)]
+        scale_ok = jnp.abs(oct_i - oct_c) <= 1
         ok_all = (matched & ok & tri_ok & (z_i > 0) & (z_c > 0)
-                  & reproj_ok & par_ok & ratio_ok)
+                  & reproj_ok & par_ok & ratio_ok & scale_ok)
         return X, ok_all, idx, kc
 
     Xs, oks, idxs, kcs = jax.vmap(pair_candidates)(kf_idx, kf_ok)
@@ -105,11 +114,17 @@ def create_new_map_points(m: ms.MapState, new_kf,
 
     # descriptors + normals from the creating keyframe
     desc = m.kf_desc[new_kf][feat_i]
-    normal = Xf - se3.camera_center(pose_i)
-    normal = normal / jnp.maximum(
-        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+    ctr_i = se3.camera_center(pose_i)
+    normal = Xf - ctr_i
+    dist_i = jnp.linalg.norm(normal, axis=-1)
+    normal = normal / jnp.maximum(dist_i, 1e-9)[:, None]
+    # scale-invariance info for the distance gates (mp_max_dist =
+    # d_create * scale^octave, ORB-SLAM mfMaxDistance convention)
+    oct_new = m.kf_octave[new_kf][feat_i]
+    max_dist = dist_i * scale_factor ** oct_new.astype(jnp.float32)
 
-    m2, mp_ids = ms.allocate_map_points(m, Xf, desc, normal, new_kf, okf)
+    m2, mp_ids = ms.allocate_map_points(m, Xf, desc, normal, new_kf, okf,
+                                        octave=oct_new, max_dist=max_dist)
     created = mp_ids >= 0
 
     # associations in Ki and the pair keyframe

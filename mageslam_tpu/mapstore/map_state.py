@@ -58,6 +58,12 @@ class MapState(NamedTuple):
     mp_predicted: jnp.ndarray   # (L,) f32 predicted count  TrackLocalMap.h:114)
     mp_refine_count: jnp.ndarray  # (L,) int32 BA refinements (MapPoint.h)
     mp_created_kf_gen: jnp.ndarray  # (L,) int32 kf-generation at creation
+    # scale-invariance info (TrackLocalMap.h:51-65 IsGoodCandidate /
+    # ORB-SLAM mfMaxDistance): octave of the creating observation and the
+    # scale-pyramid max viewing distance d_create * scale^octave.
+    # max_dist <= 0 means "no scale info" (single-level maps; gates pass)
+    mp_octave: jnp.ndarray      # (L,) int32
+    mp_max_dist: jnp.ndarray    # (L,) f32
     # counters
     num_kf_ever: jnp.ndarray    # int32 — generation counter
 
@@ -86,6 +92,8 @@ def empty_map(max_keyframes: int, max_features: int,
         mp_predicted=jnp.zeros(L, jnp.float32),
         mp_refine_count=jnp.zeros(L, jnp.int32),
         mp_created_kf_gen=jnp.full(L, -1, jnp.int32),
+        mp_octave=jnp.zeros(L, jnp.int32),
+        mp_max_dist=jnp.zeros(L, jnp.float32),
         num_kf_ever=jnp.int32(0),
     )
 
@@ -261,12 +269,20 @@ def remove_keyframes(m: MapState, kf_mask: jnp.ndarray) -> MapState:
 @jax.jit
 def allocate_map_points(m: MapState, pos: jnp.ndarray, desc: jnp.ndarray,
                         normal: jnp.ndarray, anchor_kf,
-                        valid: jnp.ndarray):
+                        valid: jnp.ndarray, octave=None, max_dist=None):
     """Allocate N candidate map points into free slots
     (Map::CreateMapPoints analog).  Returns (new_map, mp_ids (N,) int32
     with -1 for dropped candidates — capacity overflow or invalid input).
+
+    octave / max_dist: per-candidate scale-invariance info (optional —
+    omitted means octave 0 / max_dist 0 = "no scale info", which keeps
+    every scale gate vacuous; the single-level golden path).
     """
     K, F, L = capacities(m)
+    if octave is None:
+        octave = jnp.zeros(valid.shape, jnp.int32)
+    if max_dist is None:
+        max_dist = jnp.zeros(valid.shape, jnp.float32)
     free = ~m.mp_valid
     # stable list of free slots (free first, ascending id)
     free_slots = jnp.argsort(~free)               # (L,)
@@ -298,11 +314,15 @@ def allocate_map_points(m: MapState, pos: jnp.ndarray, desc: jnp.ndarray,
     zp = zp.at[slot_safe].set(0.0)[:L]
     zr = jnp.concatenate([m.mp_refine_count, jnp.zeros(1, jnp.int32)], 0)
     zr = zr.at[slot_safe].set(0)[:L]
+    zo = jnp.concatenate([m.mp_octave, jnp.zeros(1, jnp.int32)], 0)
+    zo = zo.at[slot_safe].set(jnp.asarray(octave, jnp.int32))[:L]
+    zd = jnp.concatenate([m.mp_max_dist, jnp.zeros(1, jnp.float32)], 0)
+    zd = zd.at[slot_safe].set(jnp.asarray(max_dist, jnp.float32))[:L]
 
     m = m._replace(mp_pos=mp_pos, mp_desc=mp_desc, mp_normal=mp_normal,
                    mp_valid=mp_valid, mp_anchor_kf=mp_anchor,
                    mp_created_kf_gen=mp_gen, mp_found=zf, mp_predicted=zp,
-                   mp_refine_count=zr)
+                   mp_refine_count=zr, mp_octave=zo, mp_max_dist=zd)
     mp_ids = jnp.where(ok, slot, -1).astype(jnp.int32)
     return m, mp_ids
 

@@ -329,10 +329,13 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
 
         def seed(st):
             m = st.map
-            normal = ires.points / jnp.maximum(
-                jnp.linalg.norm(ires.points, axis=-1, keepdims=True), 1e-9)
+            d0 = jnp.linalg.norm(ires.points, axis=-1)
+            normal = ires.points / jnp.maximum(d0, 1e-9)[:, None]
             m, mp_ids = ms.allocate_map_points(
-                m, ires.points, f0.desc, normal, 0, ires.point_valid)
+                m, ires.points, f0.desc, normal, 0, ires.point_valid,
+                octave=f0.octave,
+                max_dist=d0 * float(fe.scale_factor)
+                ** f0.octave.astype(jnp.float32))
             created = mp_ids >= 0
             assoc0 = jnp.where(created, mp_ids, -1)
             m, s0 = ms.insert_keyframe(m, se3.pose_identity(), f0, assoc0,
@@ -497,7 +500,8 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
             npres = new_points.create_new_map_points(
                 m, slot, cal, s.mapping.new_map_points, fx,
                 num_candidates=int(s.mapping.new_map_points
-                                   .max_frames_for_new_points_creation))
+                                   .max_frames_for_new_points_creation),
+                scale_factor=float(fe.scale_factor))
             m = npres.map
 
             win = local_ba.build_local_window(
@@ -876,9 +880,17 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
         return st, code, pose_out, tres.num_inliers
 
     # ------------------------------------------------------------------
-    @jax.jit
-    def _step(st: EngineState, img: jnp.ndarray, ts, fid, ext_prior,
-              ext_prior_ok):
+    # donate_argnums=(0,): the caller always replaces its state with the
+    # returned one, so XLA may alias the (10+ MB) EngineState buffers
+    # in-place instead of writing every mostly-unchanged leaf to fresh
+    # HBM each frame
+    def _step_impl(st: EngineState, img: jnp.ndarray, ts, fid, ext_prior,
+                   ext_prior_ok):
+        from mageslam_tpu.ops import pyramid as _pyr
+        # grayscale conversion INSIDE the fused program: the host feeds
+        # the raw (uint8) frame with one async transfer — a separate
+        # to_gray dispatch cost ~2-6 ms/frame of host time on the relay
+        img = _pyr.to_gray_f32(img)
         feats = extract_features(
             img, cal, float(fe.fast_threshold), max_features=F,
             num_levels=int(fe.num_levels),
@@ -925,16 +937,37 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
                            jnp.sum(feats.valid), stage_fp)
         return st, out
 
-    def step(st: EngineState, img: jnp.ndarray, ts, fid, ext_prior=None):
-        """Engine step; ext_prior (7,) optionally overrides the built-in
-        constant-velocity pose prior for this frame."""
-        if ext_prior is None:
-            return _step(st, img, ts, fid, se3.pose_identity(),
-                         jnp.asarray(False))
-        return _step(st, img, ts, fid, jnp.asarray(ext_prior),
-                     jnp.asarray(True))
+    _step = functools.partial(jax.jit, donate_argnums=(0,))(_step_impl)
 
-    @jax.jit
+    # chunked-feed variant: the host uploads a BATCH of raw frames in one
+    # transfer and each step selects its frame on device.  On the axon
+    # relay every host<->device operation costs ~0.9 ms once any readback
+    # has occurred (sync mode); chunking amortizes the image upload to
+    # 1/chunk per frame while the per-frame compute path stays identical.
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _step_chunk(st: EngineState, chunk: jnp.ndarray, idx, ts, fid,
+                    ext_prior, ext_prior_ok):
+        img = jax.lax.dynamic_index_in_dim(chunk, idx, 0, keepdims=False)
+        return _step_impl(st, img, ts, fid, ext_prior, ext_prior_ok)
+
+    _id_pose = se3.pose_identity()
+    _false = jnp.asarray(False)
+    _true = jnp.asarray(True)
+
+    def step(st: EngineState, img, ts, fid, ext_prior=None,
+             chunk_idx=None):
+        """Engine step; img may be raw uint8 (H,W) or (H,W,3) — grayscale
+        conversion happens inside the fused program.  ext_prior (7,)
+        optionally overrides the built-in constant-velocity pose prior
+        for this frame.  With chunk_idx, img is a (N,H,W[,3]) device
+        chunk and the frame at chunk_idx is selected on device."""
+        prior, ok = (_id_pose, _false) if ext_prior is None \
+            else (jnp.asarray(ext_prior), _true)
+        if chunk_idx is None:
+            return _step(st, img, ts, fid, prior, ok)
+        return _step_chunk(st, img, int(chunk_idx), ts, fid, prior, ok)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def drain_mapping(st: EngineState) -> EngineState:
         """Run the mapping pipeline to completion (pending keyframes +
         active BA) — used by flush/fossilize, the analog of the runtime

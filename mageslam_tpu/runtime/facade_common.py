@@ -69,16 +69,18 @@ class SensorFacadeMixin:
 
 
 def seed_map_from_stereo(m: ms.MapState, history, f1, f2, res, extrinsics,
-                         fid: int, ts: float):
+                         fid: int, ts: float, scale_factor: float = 1.5):
     """Seed a METRIC map from a stereo-initialization result: keyframe 0 =
     camera 1 at identity, keyframe 1 = camera 2 at the rig extrinsics, both
     immortal (StereoInitializationWorker seeding).  Returns
     (map, history, slot0, slot1)."""
     F = f1.valid.shape[0]
-    normal = res.points / jnp.maximum(
-        jnp.linalg.norm(res.points, axis=-1, keepdims=True), 1e-9)
+    d0 = jnp.linalg.norm(res.points, axis=-1)
+    normal = res.points / jnp.maximum(d0, 1e-9)[:, None]
     m, mp_ids = ms.allocate_map_points(
-        m, res.points, f1.desc, normal, 0, res.point_valid)
+        m, res.points, f1.desc, normal, 0, res.point_valid,
+        octave=f1.octave,
+        max_dist=d0 * scale_factor ** f1.octave.astype(jnp.float32))
     created = mp_ids >= 0
     assoc1 = jnp.where(created, mp_ids, -1)
     m, s0 = ms.insert_keyframe(m, se3.pose_identity(), f1, assoc1, fid,

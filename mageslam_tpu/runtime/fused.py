@@ -85,6 +85,21 @@ class MageSlamTPUFused(SensorFacadeMixin):
             self._pipeline_depth
 
     # ------------------------------------------------------------------
+    def reset(self, seed: int = 0):
+        """Fresh SLAM session on the same compiled engine (compile caches
+        keyed on the step closure survive, so a reset drive never pays
+        tracing again — used by bench.py's repeated-drive variance
+        estimate and by restart-style applications)."""
+        self._state = de.empty_state(self.settings, seed=0)._replace(
+            key=jax.random.key(seed))
+        self._pending.clear()
+        self._inflight = None
+        self._results = {}
+        self._frame_id = 0
+        self._held = None
+        self._dropped = 0
+
+    # ------------------------------------------------------------------
     def _pipeline_depth(self) -> int:
         """Dispatched engine steps whose outputs are still on device."""
         n = 0
@@ -95,8 +110,10 @@ class MageSlamTPUFused(SensorFacadeMixin):
         return n
 
     def _dispatch(self, fid, ts, gray, prior):
+        # python scalars: converted inside the ONE jit dispatch instead of
+        # two separate per-frame device_puts
         self._state, out = self._step(self._state, gray,
-                                      jnp.float32(ts), jnp.int32(fid),
+                                      float(ts), int(fid),
                                       ext_prior=prior)
         self._pending.append((fid, ts, out))
         if len(self._pending) >= self._fetch_every:
@@ -107,7 +124,9 @@ class MageSlamTPUFused(SensorFacadeMixin):
         fid = self._frame_id
         self._frame_id += 1
         ts = timestamp if timestamp is not None else fid / 30.0
-        gray = pyramid.to_gray_f32(img)
+        # raw-frame handoff: ONE async host->device transfer; grayscale
+        # conversion runs inside the fused engine step (device_engine)
+        gray = jnp.asarray(img)
         prior = None
         if self._prior_provider is not None:
             prior = self._prior_provider.get_pose_for_time(ts)
@@ -135,6 +154,39 @@ class MageSlamTPUFused(SensorFacadeMixin):
     def frames_dropped(self) -> int:
         """Frames discarded by drop-frame pacing."""
         return self._dropped
+
+    def process_sequence(self, imgs, timestamps=None, chunk: int = 8):
+        """File-driven sequence processing (the reference golden path
+        reads a pre-recorded video too, console.cpp:291-341): frames are
+        uploaded in `chunk`-sized batches (one host->device transfer per
+        batch) and each engine step selects its frame ON DEVICE — the
+        per-frame compute path and results are identical to
+        process_frame, only the upload is amortized (the axon relay
+        charges ~0.9 ms per host<->device op in post-readback sync mode).
+        Drop-frame pacing does not apply (offline mode).  Results resolve
+        via flush()/result_for as usual."""
+        n = len(imgs)
+        for a in range(0, n, chunk):
+            b = min(a + chunk, n)
+            batch = np.stack([np.asarray(im) for im in imgs[a:b]])
+            if b - a < chunk:   # pad: keep ONE chunk shape -> one trace
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], chunk - (b - a), 0)])
+            dev = jnp.asarray(batch)
+            for j in range(b - a):
+                fid = self._frame_id
+                self._frame_id += 1
+                ts = timestamps[a + j] if timestamps is not None \
+                    else fid / 30.0
+                prior = None
+                if self._prior_provider is not None:
+                    prior = self._prior_provider.get_pose_for_time(ts)
+                self._state, out = self._step(self._state, dev, ts, fid,
+                                              ext_prior=prior,
+                                              chunk_idx=j)
+                self._pending.append((fid, ts, out))
+                if len(self._pending) >= self._fetch_every:
+                    self._drain()
 
     def _materialize(self, batch):
         """Resolve one in-flight (meta, stacked device array) batch and

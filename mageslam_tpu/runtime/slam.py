@@ -302,10 +302,13 @@ class MageSlamTPU(SensorFacadeMixin):
         desc = f0.desc
         # mean viewing direction = camera->point unit vector (camera 0 is at
         # the origin), matching the visibility gate in tracking/track.py
-        normal = res.points / jnp.maximum(
-            jnp.linalg.norm(res.points, axis=-1, keepdims=True), 1e-9)
+        d0 = jnp.linalg.norm(res.points, axis=-1)
+        normal = res.points / jnp.maximum(d0, 1e-9)[:, None]
+        sf = float(self.settings.mono.camera.features.scale_factor)
         self._map, mp_ids = ms.allocate_map_points(
-            self._map, res.points, desc, normal, 0, res.point_valid)
+            self._map, res.points, desc, normal, 0, res.point_valid,
+            octave=f0.octave,
+            max_dist=d0 * sf ** f0.octave.astype(jnp.float32))
         created = mp_ids >= 0
         # keyframe 0 at identity (immortal — the gauge origin)
         assoc0 = jnp.where(created, mp_ids, -1)
@@ -646,7 +649,8 @@ class MageSlamTPU(SensorFacadeMixin):
             self._map, slot, self.cal, s.mapping.new_map_points,
             float(self.cal.fx),
             num_candidates=int(s.mapping.new_map_points
-                               .max_frames_for_new_points_creation))
+                               .max_frames_for_new_points_creation),
+            scale_factor=float(s.mono.camera.features.scale_factor))
         self._map = npres.map
         self._det("Mapping/new_points", fid, int(npres.num_created),
                   np.asarray(self._map.mp_pos))

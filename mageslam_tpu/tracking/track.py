@@ -77,6 +77,23 @@ def track_frame(m: ms.MapState, feats: FrameFeatures,
         s.track_local_map.min_degrees_between_current_view_and_map_point_view)))
     candidates = local_mp & (z_pred > 0) & in_img & angle_ok
 
+    # scale-invariance distance gate (IsGoodCandidate,
+    # TrackLocalMap.h:51-65): a point created at octave o and distance d
+    # is expected visible in [d_max/scale^(levels-1), d_max] with
+    # d_max = d * scale^o.  Compiled in only for multi-level pyramids —
+    # the single-level golden path has no scale band to test (and points
+    # without scale info, mp_max_dist <= 0, always pass).
+    fe = s.mono.camera.features
+    num_levels = int(fe.num_levels)
+    sf = float(fe.scale_factor)
+    if num_levels > 1:
+        dist_all = jnp.linalg.norm(m.mp_pos - cam_center, axis=-1)
+        dmax = m.mp_max_dist * 1.25
+        dmin = m.mp_max_dist / (sf ** (num_levels - 1)) * 0.8
+        scale_ok = (m.mp_max_dist <= 0) \
+            | ((dist_all >= dmin) & (dist_all <= dmax))
+        candidates &= scale_ok
+
     # ---- candidate COMPACTION: every downstream op (matching matrices,
     # pose Jacobians) runs on C compact rows instead of all L landmark
     # slots.  The visible local map is a few hundred points; C slots
@@ -106,11 +123,27 @@ def track_frame(m: ms.MapState, feats: FrameFeatures,
     desc_c = m.mp_desc[cidx]
     uv_pred_c = uv_pred[cidx]
 
+    # octave-scaled search radii (multi-level only): predict the pyramid
+    # level this point would be detected at from its viewing distance
+    # (OpenCVModified.cpp pyramid scaling; ORB-SLAM PredictScale) and
+    # widen the pixel search radius by scale^level — a coarse-level
+    # keypoint localizes scale^level worse in level-0 pixels
+    if num_levels > 1:
+        dist_c = jnp.linalg.norm(m.mp_pos[cidx] - cam_center, axis=-1)
+        ratio = m.mp_max_dist[cidx] / jnp.maximum(dist_c, 1e-6)
+        oct_pred = jnp.clip(
+            jnp.round(jnp.log(jnp.maximum(ratio, 1e-6)) / jnp.log(sf)),
+            0.0, float(num_levels - 1))
+        rad_scale = jnp.where(m.mp_max_dist[cidx] > 0,
+                              sf ** oct_pred, 1.0)
+    else:
+        rad_scale = jnp.float32(1.0)
+
     def match_round(radius_px, max_ham):
         idx, dist = matching.radius_match(
             uv_pred_c, desc_c, c_valid,
             feats.uv, feats.desc, feats.valid,
-            radius=jnp.asarray(radius_px, jnp.float32),
+            radius=jnp.asarray(radius_px, jnp.float32) * rad_scale,
             max_distance=max_ham,
             min_difference=s.track_local_map.matcher.min_hamming_difference)
         return matching.assign_unique(idx, dist)
@@ -158,7 +191,7 @@ def track_frame(m: ms.MapState, feats: FrameFeatures,
         uv_pred2, desc_c, candidates2,
         feats.uv, feats.desc, feats.valid,
         radius=jnp.asarray(s.track_local_map.match_search_radius,
-                           jnp.float32),
+                           jnp.float32) * rad_scale,
         max_distance=ham,
         min_difference=s.track_local_map.matcher.min_hamming_difference)
     idx2 = matching.assign_unique(idx2, dist2)
