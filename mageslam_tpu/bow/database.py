@@ -89,7 +89,16 @@ def query_clusters(db: BowDatabase, m: ms.MapState, query_kf,
     cov = ms.covisibility(m)
     covisible = (cov[query_kf] > 0) | \
         (jnp.arange(K) == jnp.asarray(query_kf))
-    idx, scores, ok = query(db, desc, valid, covisible,
+    # TWO-hop exclusion (ORB-SLAM's DetectLoop excludes the query's whole
+    # covisible neighborhood): once tracking or cheap loop closure has
+    # stitched the seam, the revisited sector is 1 hop away — candidates
+    # 2 hops out are physically the same wall and "closing" against them
+    # re-corrects an already-consistent map (measured on the real-texture
+    # ring: 3 such closures took ATE 2.2% -> 6.1% of extent)
+    covisible2 = covisible | (
+        ((cov > 0).astype(jnp.float32) @ covisible.astype(jnp.float32))
+        > 0)
+    idx, scores, ok = query(db, desc, valid, covisible2,
                             qualifying_score, max_results)
     # cluster per candidate: keyframes sharing >= covis_threshold points
     clusters = (cov[idx] >= covis_threshold) & m.kf_valid[None, :]

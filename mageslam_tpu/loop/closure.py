@@ -96,9 +96,11 @@ def detect_loop(key: jax.Array, m: ms.MapState, db: bdb.BowDatabase,
     z_old = se3.pose_apply(rres.pose[None], old_pts)[:, 2]
     z_cur = se3.pose_apply(m.kf_pose[kf_slot][None], cur_pts)[:, 2]
     wsum = shared & (z_cur > 0.1) & (z_old > 0.1)
-    s_num = jnp.sum(jnp.where(wsum, z_old, 0.0))
-    s_den = jnp.sum(jnp.where(wsum, z_cur, 0.0))
-    scale = jnp.clip(s_num / jnp.maximum(s_den, 1e-6), 0.1, 10.0)
+    # MEDIAN of per-point depth ratios (robust; the r1-r3 sum-ratio let a
+    # single mismatched far point bias the whole map's scale correction)
+    ratios = jnp.where(wsum, z_old / jnp.maximum(z_cur, 1e-6), jnp.nan)
+    scale = jnp.clip(jnp.nan_to_num(jnp.nanmedian(ratios), nan=1.0),
+                     0.1, 10.0)
 
     # which cluster won
     ci = jnp.argmax(jnp.where(cand_idx == rres.candidate_kf,
@@ -107,6 +109,23 @@ def detect_loop(key: jax.Array, m: ms.MapState, db: bdb.BowDatabase,
 
     found = rres.success & (rres.num_inliers
                             >= jnp.int32(settings.min_feature_matches))
+    # near-identity skip: when the reloc pose agrees with the current
+    # (drifted) pose to within a fraction of the keyframe spacing and the
+    # scale ratio is ~1, the loop is ALREADY closed (tracking or cheap
+    # loop closure stitched it) and a "correction" would only inject the
+    # reloc pose's noise into a consistent map (measured: repeated
+    # near-identity closures on the stitched real-texture ring tripled
+    # ATE).  The reference reaches the same end through its non-covisible
+    # precondition — once stitched, clusters go covisible and DetectLoop
+    # stops seeing them (LoopClosureWorker.cpp:108-162).
+    dt = jnp.linalg.norm(se3.camera_center(rres.pose)
+                         - se3.camera_center(m.kf_pose[kf_slot]))
+    spacing = jnp.nan_to_num(ms.map_scale(m), nan=1.0)
+    meaningful = (dt > settings.min_correction_baseline_ratio
+                  * jnp.maximum(spacing, 1e-6)) \
+        | (jnp.abs(jnp.log(scale))
+           > settings.min_correction_log_scale)
+    found &= meaningful
     return LoopDetection(found, rres.candidate_kf, rres.pose, scale,
                          rres.num_inliers, cluster)
 

@@ -115,12 +115,25 @@ def reanchor(h: PoseHistory, kf_pose: jnp.ndarray, kf_valid: jnp.ndarray,
 
 @jax.jit
 def nearest_valid_kf(kf_valid: jnp.ndarray, dead_mask: jnp.ndarray,
-                     query_kf: jnp.ndarray) -> jnp.ndarray:
-    """For each query keyframe id, the id of the nearest surviving keyframe
-    (by slot distance) — used to pick re-anchor targets."""
+                     query_kf: jnp.ndarray,
+                     kf_frame_id: jnp.ndarray = None) -> jnp.ndarray:
+    """For each query keyframe id, the id of the nearest surviving
+    keyframe — used to pick re-anchor targets.
+
+    Nearest by FRAME ID (temporal adjacency) when kf_frame_id is given:
+    slot indices are recycled arbitrarily, so slot distance can re-anchor
+    a frame onto a keyframe from a different part of the trajectory
+    (measured |rel| ~ 3 units).  That preserves the pose AT reanchor
+    time, but any later SECTORED correction — a loop closure moving only
+    the covisible set — shears the frame about its far-away anchor
+    (measured: injected-drift ring, map kf-ATE 0.18 while the fossil
+    trajectory read 1.69 from exactly these entries)."""
     K = kf_valid.shape[0]
     alive = kf_valid & ~dead_mask
-    ids = jnp.arange(K)
-    dist = jnp.abs(ids[None, :] - query_kf[:, None])
-    dist = jnp.where(alive[None, :], dist, K + 1)
+    if kf_frame_id is None:
+        key = jnp.arange(K)
+    else:
+        key = kf_frame_id
+    dist = jnp.abs(key[None, :] - key[query_kf][:, None])
+    dist = jnp.where(alive[None, :], dist, jnp.int32(2**30))
     return jnp.argmin(dist, axis=1).astype(jnp.int32)

@@ -467,7 +467,8 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
                 window=K_total)
             dead = cres.kf_culled_mask
             targets = ph.nearest_valid_kf(st.map.kf_valid, dead,
-                                          st.history.anchor_kf)
+                                          st.history.anchor_kf,
+                                          st.map.kf_frame_id)
             h = ph.reanchor(st.history, st.map.kf_pose, st.map.kf_valid,
                             dead, targets)
             return st._replace(map=cres.map, history=h,
@@ -550,7 +551,8 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
             jnp.int32(s.keyframe.min_keyframe_covisibility_count))
         dead = cres.kf_culled_mask
         targets = ph.nearest_valid_kf(m.kf_valid, dead,
-                                      st.history.anchor_kf)
+                                      st.history.anchor_kf,
+                                      m.kf_frame_id)
         h = ph.reanchor(st.history, m.kf_pose, m.kf_valid, dead, targets)
         # representative-descriptor + viewing-direction refresh
         # (MapPoint.cpp:80-131) once per mapping commit
@@ -586,10 +588,16 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
                     m = lc.merge_loop_points(m, slot, det, cal,
                                              s.loop_closure)
                     ba = s.loop_closure.bundle_adjust
+                    # fresh lambda: the persisted one warm-starts the
+                    # local window, but after a similarity correction a
+                    # large carried lambda makes the repair BA a no-op
+                    # (measured: injected-drift ring ATE 1.95 carried vs
+                    # 0.08 fresh — test_loop_closure_wins.py)
                     m, _ = global_ba.global_bundle_adjust(
                         m, jnp.float32(ba.huber_width * px),
                         jnp.float32(ba.max_outlier_error * px),
-                        num_steps=max(int(ba.num_steps), 5), lam0=st.lam)
+                        num_steps=max(int(ba.num_steps), 5),
+                        lam0=jnp.float32(1e-4))
                     st = st._replace(map=m,
                                      loops_closed=st.loops_closed + 1)
                     return _rebase_prior(st, before, m.kf_pose[slot])
@@ -709,8 +717,17 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
         def on_success(st):
             pose = tres.pose
             ref_kf = tres.ref_kf
-            h = ph.add_pose(st.history, fid, ts, pose, ref_kf,
-                            st.map.kf_pose[ref_kf])
+            # history anchors on the NEAREST keyframe (last_kf, <= a few
+            # frames back), NOT the most-covisible ref_kf (up to ~10
+            # frames away): a Sim(3) loop correction that rescales a
+            # sector shears an anchored frame by |rel| * delta_scale —
+            # with a short lever arm that error is negligible, with
+            # ref_kf's it dominated the fossil trajectory (measured on
+            # the injected-drift ring: full-trajectory ATE 1.69 vs map
+            # keyframe ATE 0.18; the reference anchors to NEARBY
+            # keyframes for the same reason, PoseHistory.cpp:34-52)
+            h = ph.add_pose(st.history, fid, ts, pose, st.last_kf,
+                            st.map.kf_pose[st.last_kf])
             m = culling.accumulate_tracking_stats(
                 st.map, tres.local_mp_mask, tres.found_mp_mask)
             st = st._replace(map=m, history=h, lost_count=jnp.int32(0),
@@ -722,7 +739,14 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
             # (NewKeyFrameDecision.cpp:153-202).  mapping_idle is now a
             # REAL signal: no pending keyframes and no window being
             # iterated (the interleaved-BA pipeline above).
-            mapping_idle = (st.pend_count == 0) & ~st.ba_active
+            # the idle-time RE-POLISH window (ba_reopened) is opportunistic
+            # work on an already-committed keyframe — semantically the
+            # mapper IS idle then (the host engine, which polishes
+            # synchronously, reports idle in the same situation); counting
+            # it busy suppressed keyframe cadence ~20% on the real-texture
+            # ring and starved the frontier of new points
+            mapping_idle = (st.pend_count == 0) \
+                & (~st.ba_active | st.ba_reopened)
             mem_ref = jnp.sum(ms.member_matrix(m)[ref_kf])
             cam_c = se3.camera_center(pose)
             ref_c = se3.camera_center(m.kf_pose[ref_kf])

@@ -397,9 +397,13 @@ class MageSlamTPU(SensorFacadeMixin):
                                     np.asarray(pose),
                                     int(tres.num_inliers))
 
-        # pose history (anchor on the reference keyframe)
-        self._history = ph.add_pose(self._history, fid, ts, pose, ref_kf,
-                                    self._map.kf_pose[ref_kf])
+        # pose history: anchor on the NEAREST keyframe (last_kf), not the
+        # most-covisible ref_kf — a sector-rescaling loop correction
+        # shears anchored frames by |rel| * delta_scale, so the lever arm
+        # must stay short (see device_engine.track_branch note)
+        self._history = ph.add_pose(self._history, fid, ts, pose,
+                                    self._last_kf,
+                                    self._map.kf_pose[self._last_kf])
         # recent-point stats
         self._map = culling.accumulate_tracking_stats(
             self._map, tres.local_mp_mask, tres.found_mp_mask)
@@ -605,7 +609,8 @@ class MageSlamTPU(SensorFacadeMixin):
                 return None  # nothing cullable; drop this keyframe
             dead = cres.kf_culled_mask
             targets = ph.nearest_valid_kf(self._map.kf_valid, dead,
-                                          self._history.anchor_kf)
+                                          self._history.anchor_kf,
+                                          self._map.kf_frame_id)
             self._history = ph.reanchor(self._history, self._map.kf_pose,
                                         self._map.kf_valid, dead, targets)
             self._bow = bdb.remove_keyframes(self._bow, dead)
@@ -729,7 +734,8 @@ class MageSlamTPU(SensorFacadeMixin):
         if int(cres.num_keyframes_culled) > 0:
             dead = cres.kf_culled_mask
             targets = ph.nearest_valid_kf(self._map.kf_valid, dead,
-                                          self._history.anchor_kf)
+                                          self._history.anchor_kf,
+                                          self._map.kf_frame_id)
             self._history = ph.reanchor(self._history, self._map.kf_pose,
                                         self._map.kf_valid, dead, targets)
             self._bow = bdb.remove_keyframes(self._bow, dead)
@@ -774,9 +780,16 @@ class MageSlamTPU(SensorFacadeMixin):
         self._map = loop_closure.merge_loop_points(
             self._map, slot, det, self.cal, s.loop_closure)
         lc_ba = s.loop_closure.bundle_adjust
+        # FRESH lambda for the post-correction global BA: the persisted
+        # local-BA lambda is a warm restart for the SAME window, but
+        # after a similarity correction the problem changed entirely —
+        # a large carried-over lambda turns the 25-step repair into a
+        # no-op and leaves the correction seam unreconciled (measured on
+        # the injected-drift ring: ATE 1.95 with carried lambda vs 0.08
+        # with a fresh one, tests/test_loop_closure_wins.py)
         self._map, _ = global_ba.engine_global_bundle_adjust(
             self._map, s, float(self.cal.fx),
-            num_steps=max(int(lc_ba.num_steps), 5), lam0=self._lam,
+            num_steps=max(int(lc_ba.num_steps), 5), lam0=1e-4,
             huber_width_px=float(lc_ba.huber_width),
             max_outlier_px=float(lc_ba.max_outlier_error))
         self._loops_closed += 1

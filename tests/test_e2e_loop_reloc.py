@@ -148,16 +148,21 @@ class TestFormalLoopClosure:
     @pytest.mark.parametrize("use_pose_graph,bar", [
         (False, 0.25),   # reference semantics: rigid move + global BA
         (True, 0.06),    # Sim3 essential-graph relaxation (the solver
-        #                  the reference ships unused) — distributes the
-        #                  correction over the whole trajectory and beats
-        #                  the rigid path by ~8x here
+        #                  the reference ships unused)
     ])
-    def test_detect_and_close(self, ring_imgs, use_pose_graph, bar):
-        """The formal DetectLoop -> CloseLoop path end-to-end: with cheap
-        loop closure disabled the seam cannot be stitched implicitly, so
-        drift accumulates and the loop-closure worker must detect the
-        non-covisible revisited cluster and correct the trajectory
-        (LoopClosureWorker.cpp:90-210)."""
+    def test_ring_without_cheap_lc_stays_coherent(self, ring_imgs,
+                                                  use_pose_graph, bar):
+        """The ring with cheap loop closure disabled must stay coherent.
+
+        History: through r3 this scenario drifted enough that the formal
+        DetectLoop -> CloseLoop had to fire (and the test asserted it).
+        r4's five-point bootstrap removed the organic drift (26% -> ~3%
+        on the 300-frame variant) and the r4 churn guards correctly
+        refuse to 'close' a loop whose correction would be noise-level
+        (loop/closure.py near-identity skip) — so closure firing is no
+        longer REQUIRED here, only coherence.  The detect-and-correct
+        capability itself is now graded by fault injection where drift
+        is guaranteed real: tests/test_loop_closure_wins.py."""
         import dataclasses
         imgs, poses_gt = ring_imgs
         s = loop_settings()
@@ -166,15 +171,12 @@ class TestFormalLoopClosure:
                                         use_cheap_loop_closure=False),
             loop_closure=dataclasses.replace(
                 s.loop_closure, use_pose_graph=use_pose_graph),
-            # enough keyframe slots that the revisit sector is not
-            # force-culled before detection can see it
             capacity=dataclasses.replace(s.capacity, max_keyframes=48))
         eng, results, fossil = _drive(s, imgs)
-        assert eng.loops_closed >= 1
         rmse, extent = _ate(results, fossil, poses_gt)
-        # pre-closure drift is real here (no cheap-LC stitching); the
-        # formal correction must still keep the trajectory coherent
         assert rmse < bar * extent, (rmse, extent, use_pose_graph)
+        # if the machinery DID fire, it must not have wrecked the map
+        assert rmse < 0.25 * extent
 
 
 class TestRelocalizationE2E:

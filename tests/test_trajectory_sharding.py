@@ -1,0 +1,136 @@
+"""Keyframe-block trajectory sharding with halo exchange
+(parallel/trajectory_sharding.py — SURVEY.md §7 item 7): correctness vs
+the single-device solver on a long synthetic trajectory."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mageslam_tpu.geometry import se3
+from mageslam_tpu.parallel import trajectory_sharding as ts
+from mageslam_tpu.parallel.distributed_ba import make_mesh
+from mageslam_tpu.solvers import pnp
+from mageslam_tpu.solvers.bundle_adjust import (BAProblem, bundle_adjust,
+                                                empty_tethers)
+
+
+def trajectory_problem(rng, K=64, per_kf=24, obs_span=6,
+                       pose_noise=0.01, pt_noise=0.02, obs_noise=3e-4):
+    """A corridor-like trajectory: K keyframes in a line, each anchoring
+    per_kf landmarks observed by the next obs_span keyframes (covisibility
+    local in trajectory order, like real SLAM)."""
+    L = K * per_kf
+    M = obs_span
+    poses = []
+    for k in range(K):
+        poses.append(np.asarray(se3.make_pose(
+            se3.so3_exp(jnp.asarray(
+                rng.normal(0, 0.01, 3).astype(np.float32))),
+            jnp.asarray(np.array([0.15 * k, 0, 0], np.float32)
+                        + rng.normal(0, 0.01, 3).astype(np.float32)))))
+    poses_gt = np.asarray(poses, np.float32)
+    # landmarks ahead of their anchor keyframe
+    pts = np.zeros((L, 3), np.float32)
+    obs_kf = np.zeros((L, M), np.int32)
+    obs_xn = np.zeros((L, M, 2), np.float32)
+    obs_valid = np.zeros((L, M), bool)
+    for k in range(K):
+        for j in range(per_kf):
+            li = k * per_kf + j
+            pts[li] = [0.15 * k + rng.uniform(-1, 2.5),
+                       rng.uniform(-1.5, 1.5), rng.uniform(3, 7)]
+            for m in range(M):
+                kk = min(k + m, K - 1)
+                obs_kf[li, m] = kk
+                xn, z = pnp.project_normalized(
+                    jnp.asarray(poses_gt[kk]), jnp.asarray(pts[li:li + 1]))
+                obs_xn[li, m] = np.asarray(xn)[0] \
+                    + rng.normal(0, obs_noise, 2)
+                obs_valid[li, m] = float(z[0]) > 0.2
+    # ensure anchor (first valid obs) stays in the anchor block
+    obs_valid[:, 0] = True
+
+    noisy_poses = poses_gt.copy()
+    noisy_poses[2:] += rng.normal(0, pose_noise,
+                                  (K - 2, 7)).astype(np.float32)
+    qn = noisy_poses[:, :4]
+    noisy_poses[:, :4] = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    problem = BAProblem(
+        kf_poses=jnp.asarray(noisy_poses),
+        kf_fixed=jnp.arange(K) < 2,
+        points=jnp.asarray(pts + rng.normal(0, pt_noise, (L, 3))
+                           .astype(np.float32)),
+        point_valid=jnp.ones(L, bool),
+        obs_kf=jnp.asarray(obs_kf),
+        obs_xn=jnp.asarray(obs_xn),
+        obs_valid=jnp.asarray(obs_valid),
+        **{k: jnp.asarray(v) for k, v in empty_tethers(1).items()})
+    return problem, poses_gt, pts
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+class TestTrajectorySharding:
+    def test_plan_preserves_observations(self, rng):
+        problem, _, _ = trajectory_problem(rng, K=32, per_kf=16)
+        plan = ts.plan_trajectory_shards(problem, 8, halo=8)
+        # covisibility span (6) < halo (8): nothing dropped
+        assert int(plan.n_dropped_obs) == 0
+        assert int(plan.n_dropped_points) == 0
+        # permutation is a bijection over live landmarks
+        perm = np.asarray(plan.land_perm)
+        live = perm[perm >= 0]
+        assert len(np.unique(live)) == len(live)
+        assert np.asarray(plan.problem.point_valid).sum() == len(live)
+
+    def test_matches_single_device(self, mesh8, rng):
+        problem, poses_gt, _ = trajectory_problem(rng, K=64, per_kf=16)
+        res1 = bundle_adjust(problem, jnp.float32(0.01),
+                             jnp.float32(0.02), num_steps=6)
+        plan = ts.plan_trajectory_shards(problem, 8, halo=8)
+        assert int(plan.n_dropped_obs) == 0
+        resN = ts.trajectory_block_bundle_adjust(
+            plan, 0.01, 0.02, mesh8, halo=8, num_steps=6)
+        assert float(resN.mean_sq_error) == pytest.approx(
+            float(res1.mean_sq_error), rel=1e-2, abs=1e-9)
+        # pose tolerance note: a 64-camera chain with 2 fixed cameras has
+        # near-gauge modes, so the camera normal system's condition
+        # number amplifies f32 summation-order differences between the
+        # window-scattered and direct assemblies to ~1e-2 in pose space
+        # while per-step mse matches to 1e-3 (measured: same lambda
+        # schedule, same mse at steps 1/2/6) — both are valid optima of
+        # the same cost within float noise
+        np.testing.assert_allclose(np.asarray(resN.kf_poses),
+                                   np.asarray(res1.kf_poses), atol=2e-2)
+        # landmark parity through the permutation: low-parallax points
+        # amplify the ~1e-2 pose differences along their ray, so pin the
+        # bulk tightly and allow a small degenerate tail
+        perm = np.asarray(plan.land_perm)
+        live = perm >= 0
+        d = np.linalg.norm(np.asarray(resN.points)[live]
+                           - np.asarray(res1.points)[perm[live]], axis=1)
+        assert np.quantile(d, 0.95) < 5e-2, np.quantile(d, 0.95)
+        assert d.max() < 0.3, d.max()
+
+    def test_converges_to_groundtruth(self, mesh8, rng):
+        problem, poses_gt, pts_gt = trajectory_problem(
+            rng, K=64, per_kf=16, pose_noise=0.02)
+        plan = ts.plan_trajectory_shards(problem, 8, halo=8)
+        res = ts.trajectory_block_bundle_adjust(
+            plan, 0.01, 0.01, mesh8, halo=8, num_steps=10)
+        assert float(res.mean_sq_error) < 1e-6
+
+    def test_long_range_obs_dropped_and_counted(self, rng):
+        problem, _, _ = trajectory_problem(rng, K=32, per_kf=16)
+        # rewrite one landmark's last observation to a far keyframe
+        obs_kf = np.asarray(problem.obs_kf).copy()
+        obs_kf[0, -1] = 31
+        problem = problem._replace(obs_kf=jnp.asarray(obs_kf))
+        plan = ts.plan_trajectory_shards(problem, 8, halo=4)
+        assert int(plan.n_dropped_obs) >= 1
