@@ -30,22 +30,23 @@ FRAME_CACHE_VERSION = 3   # bump when the synthetic renderer changes
 
 def ref_settings():
     """Reference-shaped configuration: defaults everywhere, the golden
-    path's feature budget (MageSettings.h:152, console.cpp:225-229)."""
+    path's feature budget (MageSettings.h:152, console.cpp:225-229).
+
+    r4: the r3 init-gate relaxation is GONE — with the five-point
+    bootstrap the engine initializes the bench fixture at the
+    reference's own 65-match / strict-parallax gates (measured: locks at
+    frame 5, tracks 95/100).  The remaining overrides are the keyframe
+    CADENCE gates, kept at the e2e-fixture values — they make mapping
+    run MORE often than the reference's 60-frame default would (a
+    harder, more conservative benchmark workload)."""
     from mageslam_tpu.config import MageSlamSettings
     s = MageSlamSettings()
     mono = s.mono
     fe = mono.camera.features.__class__(num_features=440,
                                         fast_threshold=10)
     cam = mono.camera.__class__(features=fe)
-    # init gates sized like the e2e fixtures: the synthetic orbit has
-    # ~100-250 usable matches/frame, the reference's 65-match bar holds
-    init = mono.map_init.__class__(
-        min_feature_matches=40, min_scoring_inliers=20,
-        min_initial_map_points=15, min_map_points=20,
-        max_parallax_3d_median_distance=60.0,
-        min_initialization_interval_ms=100,
-        max_initialization_interval_ms=600)
-    return s.replace(mono=mono.__class__(camera=cam, map_init=init),
+    return s.replace(mono=mono.__class__(camera=cam,
+                                         map_init=mono.map_init),
                      keyframe=s.keyframe.__class__(
                          min_frame_count=3, min_frame_count_reloc=3,
                          min_tracking_point_count=15))

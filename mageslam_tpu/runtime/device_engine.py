@@ -347,8 +347,11 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
             m, s1 = ms.insert_keyframe(m, ires.pose1, feats, assoc1, fid,
                                        immortal=True)
             h = ph.add_pose(st.history, init_fid[partner], init_ts[partner],
-                            se3.pose_identity(), s0, se3.pose_identity())
-            h = ph.add_pose(h, fid, ts, ires.pose1, s1, ires.pose1)
+                            se3.pose_identity(), s0, se3.pose_identity(),
+                            anchor_kf2=s1, anchor_pose2=ires.pose1)
+            h = ph.add_pose(h, fid, ts, ires.pose1, s1, ires.pose1,
+                            anchor_kf2=s0,
+                            anchor_pose2=se3.pose_identity())
             # BoW signatures if trained
             sig0 = bv.signature(st.vocab, f0.desc, f0.valid)
             sig1 = bv.signature(st.vocab, feats.desc, feats.valid)
@@ -727,7 +730,9 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
             # keyframe ATE 0.18; the reference anchors to NEARBY
             # keyframes for the same reason, PoseHistory.cpp:34-52)
             h = ph.add_pose(st.history, fid, ts, pose, st.last_kf,
-                            st.map.kf_pose[st.last_kf])
+                            st.map.kf_pose[st.last_kf],
+                            anchor_kf2=ref_kf,
+                            anchor_pose2=st.map.kf_pose[ref_kf])
             m = culling.accumulate_tracking_stats(
                 st.map, tres.local_mp_mask, tres.found_mp_mask)
             st = st._replace(map=m, history=h, lost_count=jnp.int32(0),

@@ -324,9 +324,11 @@ class MageSlamTPU(SensorFacadeMixin):
 
         self._history = ph.add_pose(self._history, fid0, ts0,
                                     se3.pose_identity(), s0,
-                                    se3.pose_identity())
+                                    se3.pose_identity(),
+                                    anchor_kf2=s1, anchor_pose2=res.pose1)
         self._history = ph.add_pose(self._history, fid1, ts1, res.pose1,
-                                    s1, res.pose1)
+                                    s1, res.pose1, anchor_kf2=s0,
+                                    anchor_pose2=se3.pose_identity())
         self._initialized = True
         self._init_probation = True
         self._init_points = int(res.num_points)
@@ -403,7 +405,9 @@ class MageSlamTPU(SensorFacadeMixin):
         # must stay short (see device_engine.track_branch note)
         self._history = ph.add_pose(self._history, fid, ts, pose,
                                     self._last_kf,
-                                    self._map.kf_pose[self._last_kf])
+                                    self._map.kf_pose[self._last_kf],
+                                    anchor_kf2=ref_kf,
+                                    anchor_pose2=self._map.kf_pose[ref_kf])
         # recent-point stats
         self._map = culling.accumulate_tracking_stats(
             self._map, tres.local_mp_mask, tres.found_mp_mask)

@@ -324,3 +324,46 @@ class TestRefreshPointRepresentatives:
         m2 = ms.refresh_point_representatives(m)
         np.testing.assert_array_equal(np.asarray(m2.mp_desc[3]),
                                       np.full(8, 7, np.uint32))
+
+
+class TestTwoAnchorHistory:
+    def test_scale_aware_reconstruction(self):
+        """r4 two-anchor history: when a Sim(3) correction rescales the
+        anchors' separation, the frame's offset rescales with its sector
+        (single-anchor reconstruction would keep the stale offset)."""
+        import jax.numpy as jnp
+        from mageslam_tpu.geometry import se3
+        from mageslam_tpu.mapstore import pose_history as ph
+
+        h = ph.empty_history(8)
+        kf = jnp.stack([
+            se3.make_pose(se3.quat_identity(), jnp.array([0.0, 0, 0])),
+            se3.make_pose(se3.quat_identity(), jnp.array([-1.0, 0, 0]))])
+        # frame halfway between the two keyframes (centers 0 and +1 in x)
+        frame = se3.make_pose(se3.quat_identity(),
+                              jnp.array([-0.5, 0.0, 0.0]))
+        h = ph.add_pose(h, 5, 0.5, frame, 0, kf[0],
+                        anchor_kf2=1, anchor_pose2=kf[1])
+        # a scale-1.5 correction moves keyframe 1's center from x=1 to 1.5
+        kf_scaled = kf.at[1, 4].set(-1.5)
+        poses, ok = ph.world_poses(h, kf_scaled, jnp.ones(2, bool))
+        assert bool(ok[0])
+        import numpy as np
+        c = np.asarray(se3.camera_center(poses[0]))
+        # scale-aware: the frame lands at the rescaled midpoint x=0.75
+        np.testing.assert_allclose(c, [0.75, 0, 0], atol=1e-5)
+
+    def test_single_anchor_unchanged(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from mageslam_tpu.geometry import se3
+        from mageslam_tpu.mapstore import pose_history as ph
+        h = ph.empty_history(8)
+        kf = jnp.stack([se3.pose_identity()])
+        frame = se3.make_pose(se3.quat_identity(),
+                              jnp.array([0.1, 0.0, 0.0]))
+        h = ph.add_pose(h, 1, 0.1, frame, 0, kf[0])
+        kf_new = kf.at[0, 4].add(1.0)
+        poses, _ = ph.world_poses(h, kf_new, jnp.ones(1, bool))
+        np.testing.assert_allclose(np.asarray(poses[0][4:]),
+                                   [1.1, 0.0, 0.0], atol=1e-5)
