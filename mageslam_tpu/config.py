@@ -269,7 +269,17 @@ class LoopClosureSettings:  # MageSettings.h LoopClosureSettings
     # essential-graph Sim3 relaxation before the global BA (the reference
     # ships PoseGraphOptimizer unused; here it propagates the correction
     # through the whole trajectory, loop/closure.py)
-    use_pose_graph: bool = False
+    # DEFAULT deviation from the reference (r4): the reference corrects a
+    # loop by rigidly moving the covisible set + global BA
+    # (LoopClosureWorker.cpp:164-210) and ships its PoseGraphOptimizer
+    # unused; the Sim3 essential-graph relaxation measurably beats that
+    # everywhere we graded it (150-frame formal ring: 0.06 vs 0.25 of
+    # extent; adversarial injected drift: full-trajectory ATE 0.405 —
+    # within noise of no-drift-injected-correction-needed — vs the rigid
+    # mode's 1.33, tests/test_loop_closure_wins.py).  The rigid move
+    # leaves a mid-trajectory discontinuity that only trajectory-wide
+    # relaxation distributes; set False for reference-semantics parity.
+    use_pose_graph: bool = True
     pose_graph_steps: int = 15
     pose_graph_min_covis: int = 30
 
