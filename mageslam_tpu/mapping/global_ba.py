@@ -109,15 +109,55 @@ def engine_global_bundle_adjust(m: ms.MapState, settings, fx: float,
                        else settings.graph_optimization.max_outlier_error)
                       * px)
     p = settings.parallel
+    devs = jax.devices()
+    K = m.kf_valid.shape[0]
+    L = m.mp_valid.shape[0]
+    if p.use_trajectory_sharding and len(devs) >= p.min_devices \
+            and K % len(devs) == 0 and L % len(devs) == 0 \
+            and int(jnp.sum(m.kf_valid)) >= p.trajectory_min_keyframes:
+        # long-trajectory layout: keyframe blocks + halo + long-range
+        # tether injection (parallel/trajectory_sharding.py)
+        from mageslam_tpu.parallel.distributed_ba import make_mesh
+        from mageslam_tpu.parallel.trajectory_sharding import \
+            trajectory_sharded_global_ba
+        m2, res, _ = trajectory_sharded_global_ba(
+            m, settings, fx, make_mesh(), num_steps=num_steps, lam0=lam0)
+        return m2, res
     if p.use_distributed_global_ba:
-        devs = jax.devices()
-        L = m.mp_valid.shape[0]
         if len(devs) >= p.min_devices and L % len(devs) == 0:
             from mageslam_tpu.parallel.distributed_ba import make_mesh
             return global_bundle_adjust_distributed(
                 m, hd, moe, make_mesh(), num_steps=num_steps, lam0=lam0)
     return global_bundle_adjust(m, hd, moe, num_steps=num_steps,
                                 lam0=lam0)
+
+
+def global_ba_to_floor(m: ms.MapState, settings, fx: float, lam0,
+                       chunk_steps: int = 10, max_steps: int = 60,
+                       rel_tol: float = 0.01):
+    """Iterate the engine global BA in chunks until the inlier mean
+    square error stops improving (relative gain < ``rel_tol``) or the
+    step budget is exhausted — "run the final BA to its error floor".
+    The reference budgets 25 steps for the post-closure global BA
+    (console.cpp:116-120) and iterates local BA until below threshold
+    (MappingWorker.cpp:330-372); a fixed small budget demonstrably
+    under-repairs a freshly loop-corrected map (BASELINE.md r4 notes).
+    Returns (map, last BAResult)."""
+    prev = None
+    lam = lam0
+    total = 0
+    res = None
+    while total < max_steps:
+        m, res = engine_global_bundle_adjust(m, settings, fx,
+                                             num_steps=chunk_steps,
+                                             lam0=lam)
+        lam = res.lam
+        mse = float(res.mean_sq_error)
+        total += chunk_steps
+        if prev is not None and (prev - mse) <= rel_tol * max(prev, 1e-12):
+            break
+        prev = mse
+    return m, res
 
 
 def global_bundle_adjust_distributed(m: ms.MapState, huber_delta,

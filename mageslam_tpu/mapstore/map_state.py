@@ -434,11 +434,19 @@ def local_map_points(m: MapState, kf_list: jnp.ndarray,
 
 
 def map_scale(m: MapState) -> jnp.ndarray:
-    """Median distance between consecutive valid keyframe centers — the
-    reference's map-scale statistic (ThreadSafeMap.h:222-224)."""
+    """Median distance between TEMPORALLY consecutive valid keyframe
+    centers — the reference's map-scale statistic (ThreadSafeMap.h:222-224).
+
+    Slots recycle out of temporal order after keyframe culling, so
+    slot-adjacency is meaningless on long culled trajectories; order by
+    kf_frame_id instead (invalid slots sort to the end and are masked)."""
     from mageslam_tpu.geometry import se3
     c = jax.vmap(se3.camera_center)(m.kf_pose)
+    order = jnp.argsort(jnp.where(m.kf_valid, m.kf_frame_id,
+                                  jnp.iinfo(jnp.int32).max))
+    c = c[order]
+    valid = m.kf_valid[order]
     d = jnp.linalg.norm(c[1:] - c[:-1], axis=-1)
-    ok = m.kf_valid[1:] & m.kf_valid[:-1]
+    ok = valid[1:] & valid[:-1]
     d = jnp.where(ok, d, jnp.nan)
     return jnp.nanmedian(d)

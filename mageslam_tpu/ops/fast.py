@@ -84,3 +84,65 @@ def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
 def detect(img: jnp.ndarray, threshold) -> jnp.ndarray:
     """score map with NMS applied."""
     return nms3x3(fast_score_map(img, threshold))
+
+
+_CDX = jnp.asarray([dx for dx, dy in CIRCLE_OFFSETS], jnp.int32)
+_CDY = jnp.asarray([dy for dx, dy in CIRCLE_OFFSETS], jnp.int32)
+
+
+@jax.jit
+def score_patches_at(img: jnp.ndarray, uv: jnp.ndarray,
+                     threshold) -> jnp.ndarray:
+    """(K, 3, 3) RAW FAST score neighborhoods at integer keypoints.
+
+    Gather-based recompute for subpixel refinement: the NMS'd map zeroes
+    a maximum's neighbors, so the full-map detect output cannot feed a
+    parabola fit, and re-deriving just K*9 scores (K*9*17 gathers) is far
+    cheaper than keeping a second full-resolution raw map live (and works
+    identically after the fused Pallas detect, which never materializes
+    the raw map)."""
+    img = img.astype(jnp.float32)
+    h, w = img.shape
+    t = jnp.asarray(threshold, jnp.float32)
+    x0 = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 4, w - 5)
+    y0 = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 4, h - 5)
+    offs = jnp.arange(-1, 2, dtype=jnp.int32)
+    ys = y0[:, None, None] + offs[None, :, None]          # (K, 3, 1)
+    xs = x0[:, None, None] + offs[None, None, :]          # (K, 1, 3)
+    ys = jnp.broadcast_to(ys, ys.shape[:1] + (3, 3))
+    xs = jnp.broadcast_to(xs, xs.shape[:1] + (3, 3))
+    centers = img[ys, xs]                                  # (K, 3, 3)
+    cy = ys[..., None] + _CDY                              # (K, 3, 3, 16)
+    cx = xs[..., None] + _CDX
+    circ = img[jnp.clip(cy, 0, h - 1), jnp.clip(cx, 0, w - 1)]
+    d_bright = circ - centers[..., None] - t
+    d_dark = centers[..., None] - circ - t
+
+    def arc_score(d):
+        dd = jnp.concatenate([d, d[..., :ARC_LENGTH - 1]], axis=-1)
+        wins = jnp.stack([
+            jnp.min(jax.lax.dynamic_slice_in_dim(dd, k, ARC_LENGTH,
+                                                 axis=-1), axis=-1)
+            for k in range(16)
+        ], -1)
+        return jnp.max(wins, -1)
+
+    sc = jnp.maximum(arc_score(d_bright), arc_score(d_dark))
+    return jnp.maximum(sc, 0.0)
+
+
+@jax.jit
+def subpixel_offsets(patches: jnp.ndarray) -> jnp.ndarray:
+    """(K, 2) parabola-vertex offsets in [-0.5, 0.5] from (K, 3, 3) raw
+    score neighborhoods.  Separable 1-D quadratic fit per axis; offset is
+    zero where the center is not a proper maximum (non-negative
+    curvature) so flat/edge responses never shift a keypoint."""
+    s0 = patches[:, 1, 1]
+    sxm, sxp = patches[:, 1, 0], patches[:, 1, 2]
+    sym, syp = patches[:, 0, 1], patches[:, 2, 1]
+    denx = sxm + sxp - 2.0 * s0
+    deny = sym + syp - 2.0 * s0
+    ox = jnp.where(denx < -1e-6, (sxm - sxp) / (2.0 * denx), 0.0)
+    oy = jnp.where(deny < -1e-6, (sym - syp) / (2.0 * deny), 0.0)
+    return jnp.stack([jnp.clip(ox, -0.5, 0.5),
+                      jnp.clip(oy, -0.5, 0.5)], -1)

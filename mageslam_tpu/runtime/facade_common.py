@@ -91,8 +91,8 @@ def seed_map_from_stereo(m: ms.MapState, history, f1, f2, res, extrinsics,
     ].set(jnp.where(created, mp_ids, -1))[:F]
     m, s1 = ms.insert_keyframe(m, jnp.asarray(extrinsics), f2, assoc2, fid,
                                immortal=True)
-    history = ph.add_pose(history, fid, ts, se3.pose_identity(), s0,
-                          se3.pose_identity())
+    history = ph.add_pose(history, fid, ts, se3.pose_identity(),
+                          jnp.stack([s0, s1]).astype(jnp.int32), m.kf_pose)
     return m, history, s0, s1
 
 

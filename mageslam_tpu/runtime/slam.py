@@ -175,12 +175,12 @@ class MageSlamTPU(SensorFacadeMixin):
         (MAGESlam::Fossilize, MAGESlam.cpp:322-383)."""
         from mageslam_tpu.runtime.fossilized import FossilizedMap
         s = self.settings
-        px = 1.0 / float(self.cal.fx)
-        num_steps = max(int(s.graph_optimization.num_steps), 10)
+        chunk = max(int(s.graph_optimization.num_steps), 10)
         if self._initialized:
-            self._map, _ = global_ba.engine_global_bundle_adjust(
-                self._map, s, float(self.cal.fx),
-                num_steps=num_steps, lam0=self._lam)
+            # final BA to its error floor (see fused.fossilize note)
+            self._map, _ = global_ba.global_ba_to_floor(
+                self._map, s, float(self.cal.fx), lam0=self._lam,
+                chunk_steps=chunk)
         return FossilizedMap.from_engine(self)
 
     def get_tracking_results_for_frames(self, frame_ids):
@@ -323,12 +323,16 @@ class MageSlamTPU(SensorFacadeMixin):
             self._map, res.pose1, f1, assoc1, fid1, immortal=True)
 
         self._history = ph.add_pose(self._history, fid0, ts0,
-                                    se3.pose_identity(), s0,
                                     se3.pose_identity(),
-                                    anchor_kf2=s1, anchor_pose2=res.pose1)
+                                    jnp.stack([jnp.asarray(s0),
+                                               jnp.asarray(s1)])
+                                    .astype(jnp.int32),
+                                    self._map.kf_pose)
         self._history = ph.add_pose(self._history, fid1, ts1, res.pose1,
-                                    s1, res.pose1, anchor_kf2=s0,
-                                    anchor_pose2=se3.pose_identity())
+                                    jnp.stack([jnp.asarray(s1),
+                                               jnp.asarray(s0)])
+                                    .astype(jnp.int32),
+                                    self._map.kf_pose)
         self._initialized = True
         self._init_probation = True
         self._init_points = int(res.num_points)
@@ -399,15 +403,18 @@ class MageSlamTPU(SensorFacadeMixin):
                                     np.asarray(pose),
                                     int(tres.num_inliers))
 
-        # pose history: anchor on the NEAREST keyframe (last_kf), not the
-        # most-covisible ref_kf — a sector-rescaling loop correction
-        # shears anchored frames by |rel| * delta_scale, so the lever arm
-        # must stay short (see device_engine.track_branch note)
+        # N-anchor pose history: nearest keyframe (last_kf) leads (its
+        # inverse-distance weight dominates — short lever arm), plus the
+        # top covisible keyframes (PoseHistory.cpp:34-52; see
+        # device_engine.track_branch note)
+        anchors = jnp.concatenate(
+            [jnp.asarray([self._last_kf], jnp.int32),
+             tres.anchor_kf[:ph.N_ANCHORS - 1]])
+        aok = jnp.concatenate(
+            [jnp.ones(1, bool), tres.anchor_ok[:ph.N_ANCHORS - 1]])
         self._history = ph.add_pose(self._history, fid, ts, pose,
-                                    self._last_kf,
-                                    self._map.kf_pose[self._last_kf],
-                                    anchor_kf2=ref_kf,
-                                    anchor_pose2=self._map.kf_pose[ref_kf])
+                                    anchors, self._map.kf_pose,
+                                    anchor_ok=aok)
         # recent-point stats
         self._map = culling.accumulate_tracking_stats(
             self._map, tres.local_mp_mask, tres.found_mp_mask)
@@ -571,8 +578,8 @@ class MageSlamTPU(SensorFacadeMixin):
                     pose = tres.pose
                     ref_kf = int(tres.ref_kf)
                     self._history = ph.add_pose(
-                        self._history, fid, ts, pose, ref_kf,
-                        self._map.kf_pose[ref_kf])
+                        self._history, fid, ts, pose, tres.anchor_kf,
+                        self._map.kf_pose, anchor_ok=tres.anchor_ok)
                     self._pose_prev = pose
                     self._pose_prev2 = pose  # zero-velocity restart
                     # re-anchor the frontier: recovered frame becomes a
@@ -613,7 +620,6 @@ class MageSlamTPU(SensorFacadeMixin):
                 return None  # nothing cullable; drop this keyframe
             dead = cres.kf_culled_mask
             targets = ph.nearest_valid_kf(self._map.kf_valid, dead,
-                                          self._history.anchor_kf,
                                           self._map.kf_frame_id)
             self._history = ph.reanchor(self._history, self._map.kf_pose,
                                         self._map.kf_valid, dead, targets)
@@ -738,7 +744,6 @@ class MageSlamTPU(SensorFacadeMixin):
         if int(cres.num_keyframes_culled) > 0:
             dead = cres.kf_culled_mask
             targets = ph.nearest_valid_kf(self._map.kf_valid, dead,
-                                          self._history.anchor_kf,
                                           self._map.kf_frame_id)
             self._history = ph.reanchor(self._history, self._map.kf_pose,
                                         self._map.kf_valid, dead, targets)

@@ -174,6 +174,55 @@ def _inv3x3(V):
     return inv.reshape(V.shape)
 
 
+def tether_normal_contrib(kf_poses, tether_i, tether_j, tether_type,
+                          tether_pose, tether_dist, tether_weight):
+    """Normal-equation contributions of tether constraints against the
+    FULL camera table: (S_t (K+1, K+1, 6, 6), b_t (K+1, 6)); row K is the
+    scratch row for disabled (type 0) slots.  Shared by the in-problem
+    tether path (_build_normal_eq) and the trajectory-sharded global BA's
+    long-range tether injection (parallel/trajectory_sharding.py), where
+    tether blocks are added to the psum-assembled global system — the
+    dense solve makes off-band long-range couplings structurally free."""
+    K = kf_poses.shape[0]
+
+    def tether_blocks(i, j, tt, tp, td, tw):
+        def rfun(xi):
+            pi = se3.pose_retract(kf_poses[i], xi[:6])
+            pj = se3.pose_retract(kf_poses[j], xi[6:])
+            return _tether_residual(pi, pj, tt, tp, td)
+        xi0 = jnp.zeros(12)
+        Jt = jax.jacfwd(rfun)(xi0)      # (6, 12)
+        rt = rfun(xi0)
+        sw = jnp.sqrt(tw)
+        return Jt[:, :6] * sw, Jt[:, 6:] * sw, rt * sw
+
+    Ji, Jj, rt = jax.vmap(tether_blocks)(
+        tether_i, tether_j, tether_type, tether_pose, tether_dist,
+        tether_weight)
+    ti = jnp.where(tether_type > 0, tether_i, K)
+    tj = jnp.where(tether_type > 0, tether_j, K)
+    S = jnp.zeros((K + 1, K + 1, 6, 6))
+    S = S.at[ti, ti].add(jnp.einsum("tab,tac->tbc", Ji, Ji))
+    S = S.at[tj, tj].add(jnp.einsum("tab,tac->tbc", Jj, Jj))
+    S = S.at[ti, tj].add(jnp.einsum("tab,tac->tbc", Ji, Jj))
+    S = S.at[tj, ti].add(jnp.einsum("tab,tac->tbc", Jj, Ji))
+    b = jnp.zeros((K + 1, 6))
+    b = b.at[ti].add(-jnp.einsum("tab,ta->tb", Ji, rt))
+    b = b.at[tj].add(-jnp.einsum("tab,ta->tb", Jj, rt))
+    return S, b
+
+
+def tether_error(kf_poses, tether_i, tether_j, tether_type, tether_pose,
+                 tether_dist, tether_weight):
+    """Summed weighted squared tether residual (the _error tether term,
+    exposed for solvers that keep tethers outside their BAProblem)."""
+    def one(i, j, tt, tp, td, w):
+        rt = _tether_residual(kf_poses[i], kf_poses[j], tt, tp, td)
+        return w * jnp.sum(rt * rt)
+    return jnp.sum(jax.vmap(one)(tether_i, tether_j, tether_type,
+                                 tether_pose, tether_dist, tether_weight))
+
+
 def _build_normal_eq(problem: BAProblem, kf_poses, points, huber_delta,
                      lam, axis_name=None):
     """One linearization: returns (S, b, V_inv, W, g_p, obs_w) where
@@ -229,40 +278,20 @@ def _build_normal_eq(problem: BAProblem, kf_poses, points, huber_delta,
     g_c = -jnp.einsum("lmk,lmb->kb", O, Ar, precision=HI)
 
     # tether contributions via autodiff (few, 6-dim residuals)
-    def tether_blocks(i, j, tt, tp, td, tw):
-        def rfun(xi):
-            pi = se3.pose_retract(kf_poses[i], xi[:6])
-            pj = se3.pose_retract(kf_poses[j], xi[6:])
-            return _tether_residual(pi, pj, tt, tp, td)
-        xi0 = jnp.zeros(12)
-        Jt = jax.jacfwd(rfun)(xi0)      # (6, 12)
-        rt = rfun(xi0)
-        Ji, Jj = Jt[:, :6] * jnp.sqrt(tw), Jt[:, 6:] * jnp.sqrt(tw)
-        rt = rt * jnp.sqrt(tw)
-        return Ji, Jj, rt
-
-    Ji, Jj, rt = jax.vmap(tether_blocks)(
-        problem.tether_i, problem.tether_j, problem.tether_type,
-        problem.tether_pose, problem.tether_dist, problem.tether_weight)
+    tw = problem.tether_weight
     if axis_name is not None:
         # replicated tether blocks will be psummed with the sharded landmark
-        # contributions; pre-scale so they count once
-        nshards = jnp.sqrt(jnp.float32(jax.lax.psum(1, axis_name)))
-        Ji = Ji / nshards
-        Jj = Jj / nshards
-        rt = rt / nshards
-    ti = jnp.where(problem.tether_type > 0, problem.tether_i, K)
-    tj = jnp.where(problem.tether_type > 0, problem.tether_j, K)
+        # contributions; pre-scale the weight so they count once (the
+        # normal-equation blocks are linear in the weight)
+        tw = tw / jnp.float32(jax.lax.psum(1, axis_name))
+    S_t, b_t = tether_normal_contrib(
+        kf_poses, problem.tether_i, problem.tether_j, problem.tether_type,
+        problem.tether_pose, problem.tether_dist, tw)
 
     # Schur assembly: S = U + tethers - sum_l Y W^T (camera-camera coupling)
-    S = jnp.zeros((K + 1, K + 1, 6, 6))
+    S = S_t
     S = S.at[jnp.arange(K + 1), jnp.arange(K + 1)].add(U)
-    S = S.at[ti, ti].add(jnp.einsum("tab,tac->tbc", Ji, Ji))
-    S = S.at[tj, tj].add(jnp.einsum("tab,tac->tbc", Jj, Jj))
-    S = S.at[ti, tj].add(jnp.einsum("tab,tac->tbc", Ji, Jj))
-    S = S.at[tj, ti].add(jnp.einsum("tab,tac->tbc", Jj, Ji))
-    b = g_c.at[ti].add(-jnp.einsum("tab,ta->tb", Ji, rt))
-    b = b.at[tj].add(-jnp.einsum("tab,ta->tb", Jj, rt))
+    b = g_c + b_t
 
     # camera-camera coupling S -= sum_l Y_l W_l^T, routed through the same
     # one-hot: per-landmark keyframe-major blocks then one big contraction

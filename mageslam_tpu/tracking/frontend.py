@@ -80,6 +80,7 @@ def extract_features(img: jnp.ndarray, cal: CameraCalibration,
                      use_orientation: bool = False,
                      cells_x: int = 32, cells_y: int = 32,
                      per_cell: int = 4,
+                     use_subpixel: bool = True,
                      use_pallas: bool | None = None) -> FrameFeatures:
     """Full frontend on a grayscale float32 (H, W) image.
 
@@ -96,14 +97,15 @@ def extract_features(img: jnp.ndarray, cal: CameraCalibration,
     return _extract_features_impl(
         img, cal, fast_threshold, max_features, num_levels, scale_factor,
         gaussian_ksize, use_orientation, cells_x, cells_y, per_cell,
-        flags)
+        use_subpixel, flags)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("fast_threshold", "max_features", "num_levels",
                      "scale_factor", "gaussian_ksize", "use_orientation",
-                     "cells_x", "cells_y", "per_cell", "pallas_flags"))
+                     "cells_x", "cells_y", "per_cell", "use_subpixel",
+                     "pallas_flags"))
 def _extract_features_impl(img: jnp.ndarray, cal: CameraCalibration,
                            fast_threshold: float,
                            max_features: int,
@@ -113,6 +115,7 @@ def _extract_features_impl(img: jnp.ndarray, cal: CameraCalibration,
                            use_orientation: bool,
                            cells_x: int, cells_y: int,
                            per_cell: int,
+                           use_subpixel: bool,
                            pallas_flags: tuple) -> FrameFeatures:
     """Jitted frontend body.  Multi-level detection splits the feature
     budget per level by inverse scale area (like the reference's per-level
@@ -140,8 +143,20 @@ def _extract_features_impl(img: jnp.ndarray, cal: CameraCalibration,
             score = (fast_pallas.detect(lv_img, float(fast_threshold))
                      if on_tpu else fast.detect(lv_img, fast_threshold))
         kps = select.select_gridded(score, budget, cells_x, cells_y, per_cell)
+        if use_subpixel:
+            # parabola-vertex refinement on the RAW score neighborhood +
+            # bilinear descriptor sampling at the refined centers (r5,
+            # VERDICT r4 #3 — the integer-grid stack localized ~1.4 px
+            # and grid quantization flipped descriptor bits frame to
+            # frame; ops/fast.py score_patches_at / subpixel_offsets)
+            sp = fast.score_patches_at(lv_img, kps.uv,
+                                       float(fast_threshold))
+            kps = kps._replace(
+                uv=kps.uv + fast.subpixel_offsets(sp)
+                * kps.valid[:, None])
         angles, desc = orb.orient_and_describe(smooth, kps.uv,
-                                               use_orientation)
+                                               use_orientation,
+                                               bilinear=use_subpixel)
         scale = scale_factor ** lvl
         per_level_feats.append(FrameFeatures(
             uv=kps.uv * scale,
@@ -186,4 +201,5 @@ def extract_for_settings(img: jnp.ndarray, cal: CameraCalibration,
         gaussian_ksize=int(fe.gaussian_kernel_size),
         use_orientation=bool(fe.use_orientation),
         cells_x=int(fe.num_cells_x), cells_y=int(fe.num_cells_y),
+        use_subpixel=bool(getattr(fe, "use_subpixel", True)),
     )

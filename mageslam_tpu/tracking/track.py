@@ -26,6 +26,7 @@ from mageslam_tpu.config import MageSlamSettings
 from mageslam_tpu.geometry import se3
 from mageslam_tpu.geometry.camera import CameraCalibration, project
 from mageslam_tpu.mapstore import map_state as ms
+from mageslam_tpu.mapstore import pose_history as ph
 from mageslam_tpu.ops import matching
 from mageslam_tpu.solvers import pnp
 from mageslam_tpu.tracking.frontend import FrameFeatures
@@ -41,6 +42,8 @@ class TrackResult(NamedTuple):
     local_mp_mask: jnp.ndarray  # (L,) map points considered (predicted)
     found_mp_mask: jnp.ndarray  # (L,) map points actually found
     ref_kf: jnp.ndarray        # chosen reference keyframe (max shared)
+    anchor_kf: jnp.ndarray     # (N_ANCHORS,) top covisible keyframes
+    anchor_ok: jnp.ndarray     # (N_ANCHORS,) anchor has shared points
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "max_local_kf"))
@@ -221,6 +224,10 @@ def track_frame(m: ms.MapState, feats: FrameFeatures,
     shared = jnp.sum(mem & inlier_mp[None, :], axis=1)
     shared = jnp.where(m.kf_valid, shared, -1)
     ref_kf = jnp.argmax(shared).astype(jnp.int32)
+    # top-N most-covisible keyframes — the pose-history anchor candidates
+    # (the reference connects each tracked frame to its most-connected
+    # keyframes, PoseHistory.cpp:34-52)
+    top_shared, top_kf = jax.lax.top_k(shared, ph.N_ANCHORS)
 
     n_inl = jnp.sum(inlier_mp)
     return TrackResult(
@@ -233,4 +240,6 @@ def track_frame(m: ms.MapState, feats: FrameFeatures,
         local_mp_mask=candidates,
         found_mp_mask=inlier_mp,
         ref_kf=ref_kf,
+        anchor_kf=top_kf.astype(jnp.int32),
+        anchor_ok=top_shared > 0,
     )

@@ -95,6 +95,35 @@ class TestDeterminatorWiring:
             assert diffs[st] == -1 or trk == -1 or diffs[st] >= trk, \
                 (st, diffs)
 
+    def test_hash_fold_sensitivity(self):
+        """The r5 content hash must catch what the r4 float sums could
+        not (VERDICT r4 weak #5): permutations, sign-symmetric drifts,
+        and single-ulp changes."""
+        import jax.numpy as jnp
+        from mageslam_tpu.runtime.device_engine import _hash_fold
+
+        a = jnp.asarray(np.arange(12, dtype=np.float32).reshape(4, 3))
+        h = float(_hash_fold(a))
+        # deterministic
+        assert float(_hash_fold(a)) == h
+        # permutation of rows changes the hash (float sum would not)
+        assert float(_hash_fold(a[::-1])) != h
+        # sign-symmetric divergence: +eps on one element, -eps on another
+        b = np.asarray(a).copy()
+        b[0, 0] += 0.5
+        b[1, 0] -= 0.5
+        assert float(_hash_fold(jnp.asarray(b))) != h
+        # single-ulp change
+        c = np.asarray(a).copy()
+        c[2, 1] = np.nextafter(c[2, 1], np.float32(1e9))
+        assert float(_hash_fold(jnp.asarray(c))) != h
+        # int arrays: swapping two association entries changes the hash
+        ia = jnp.asarray(np.array([3, 7, -1, 5], np.int32))
+        ib = jnp.asarray(np.array([7, 3, -1, 5], np.int32))
+        assert float(_hash_fold(ia)) != float(_hash_fold(ib))
+        # value stays exactly representable in the f32 output slot
+        assert h == int(h) and 0 <= h < 2 ** 24
+
     def test_host_streams_emitted(self):
         det = Determinator()
         eng = _drive_host(det)

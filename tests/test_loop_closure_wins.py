@@ -252,3 +252,26 @@ class TestClosureLiveWins:
         assert eng.loops_closed >= 1
         final = _kf_ate(eng._state.map, poses_gt)
         assert final < 0.7 * pre_close_ate, (pre_close_ate, final)
+
+
+class TestClosureTrajectoryWins:
+    """Layer 4 (r5): the system's actual OUTPUT — the full-trajectory
+    FOSSIL — must come out at least as good with loop closure as without,
+    in BOTH correction modes, under the injected Sim(3) drift.  This was
+    r4's documented 'known limitation' (rigid-mode fossil 1.33 vs 0.34
+    without closure): per-frame history anchored to <= 2 keyframes
+    sheared across the correction seam.  The r5 N-anchor inverse-
+    distance-weighted history (mapstore/pose_history.py) re-interpolates
+    every frame from up to 4 keyframes exactly like the reference
+    (PoseHistory.cpp:34-52, HistoricalPose.cpp:78-130), and fossilize
+    now runs the final BA to its error floor (global_ba_to_floor)."""
+
+    @pytest.mark.parametrize("use_pg", [False, True], ids=["rigid", "pg"])
+    def test_fossil_trajectory_not_worse(self, off_run, ring_imgs,
+                                         use_pg):
+        imgs, poses_gt = ring_imgs
+        _, rmse_off, extent, _ = off_run
+        eng, rmse_on, _, _ = _drive(_settings(True, use_pg), imgs,
+                                    poses_gt)
+        assert eng.loops_closed >= 1
+        assert rmse_on <= rmse_off, (rmse_on, rmse_off)

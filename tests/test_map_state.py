@@ -213,7 +213,7 @@ class TestPoseHistory:
             jnp.array([1.0, 0.0, 0.0])))
         frame_pose = se3.make_pose(se3.so3_exp(jnp.array([0.0, 0.12, 0.0])),
                                    jnp.array([1.1, 0.0, 0.05]))
-        h = ph.add_pose(h, 7, 0.2, frame_pose, 1, kf_pose[1])
+        h = ph.add_pose(h, 7, 0.2, frame_pose, 1, kf_pose)
         poses, ok = ph.world_poses(h, kf_pose, jnp.ones(4, bool))
         assert bool(ok[0])
         np.testing.assert_allclose(np.asarray(poses[0]),
@@ -224,7 +224,7 @@ class TestPoseHistory:
         kf_pose = jnp.tile(se3.pose_identity()[None], (2, 1))
         frame_pose = se3.make_pose(se3.quat_identity(),
                                    jnp.array([0.1, 0.0, 0.0]))
-        h = ph.add_pose(h, 1, 0.1, frame_pose, 0, kf_pose[0])
+        h = ph.add_pose(h, 1, 0.1, frame_pose, 0, kf_pose)
         # BA moves keyframe 0 by +1 in x
         kf_new = kf_pose.at[0, 4].add(1.0)
         poses, _ = ph.world_poses(h, kf_new, jnp.ones(2, bool))
@@ -239,12 +239,12 @@ class TestPoseHistory:
                           jnp.array([0.5, 0.0, 0.0]))])
         frame_pose = se3.make_pose(se3.so3_exp(jnp.array([0.0, 0.21, 0.0])),
                                    jnp.array([0.52, 0.0, 0.01]))
-        h = ph.add_pose(h, 3, 0.3, frame_pose, 1, kf_pose[1])
+        h = ph.add_pose(h, 3, 0.3, frame_pose, 1, kf_pose)
         dead = jnp.array([False, True])
         targets = ph.nearest_valid_kf(jnp.ones(2, bool), dead,
-                                      h.anchor_kf)
+                                      jnp.arange(2, dtype=jnp.int32))
         h2 = ph.reanchor(h, kf_pose, jnp.ones(2, bool), dead, targets)
-        assert int(h2.anchor_kf[0]) == 0
+        assert int(h2.anchor_kf[0, 0]) == 0
         poses, ok = ph.world_poses(h2, kf_pose, ~dead)
         assert bool(ok[0])
         np.testing.assert_allclose(np.asarray(poses[0]),
@@ -254,7 +254,7 @@ class TestPoseHistory:
         h = ph.empty_history(4)
         p = se3.pose_identity()
         for i in range(6):
-            h = ph.add_pose(h, i, float(i), p, 0, p)
+            h = ph.add_pose(h, i, float(i), p, 0, p[None])
         assert int(h.cursor) == 2
         assert set(np.asarray(h.frame_id).tolist()) == {4, 5, 2, 3}
 
@@ -326,11 +326,11 @@ class TestRefreshPointRepresentatives:
                                       np.full(8, 7, np.uint32))
 
 
-class TestTwoAnchorHistory:
+class TestNAnchorHistory:
     def test_scale_aware_reconstruction(self):
-        """r4 two-anchor history: when a Sim(3) correction rescales the
-        anchors' separation, the frame's offset rescales with its sector
-        (single-anchor reconstruction would keep the stale offset)."""
+        """When a Sim(3) correction rescales the anchors' separation, the
+        frame's offset rescales with its sector (single-anchor
+        reconstruction would keep the stale offset)."""
         import jax.numpy as jnp
         from mageslam_tpu.geometry import se3
         from mageslam_tpu.mapstore import pose_history as ph
@@ -342,8 +342,7 @@ class TestTwoAnchorHistory:
         # frame halfway between the two keyframes (centers 0 and +1 in x)
         frame = se3.make_pose(se3.quat_identity(),
                               jnp.array([-0.5, 0.0, 0.0]))
-        h = ph.add_pose(h, 5, 0.5, frame, 0, kf[0],
-                        anchor_kf2=1, anchor_pose2=kf[1])
+        h = ph.add_pose(h, 5, 0.5, frame, jnp.array([0, 1]), kf)
         # a scale-1.5 correction moves keyframe 1's center from x=1 to 1.5
         kf_scaled = kf.at[1, 4].set(-1.5)
         poses, ok = ph.world_poses(h, kf_scaled, jnp.ones(2, bool))
@@ -362,8 +361,83 @@ class TestTwoAnchorHistory:
         kf = jnp.stack([se3.pose_identity()])
         frame = se3.make_pose(se3.quat_identity(),
                               jnp.array([0.1, 0.0, 0.0]))
-        h = ph.add_pose(h, 1, 0.1, frame, 0, kf[0])
+        h = ph.add_pose(h, 1, 0.1, frame, 0, kf)
         kf_new = kf.at[0, 4].add(1.0)
         poses, _ = ph.world_poses(h, kf_new, jnp.ones(1, bool))
         np.testing.assert_allclose(np.asarray(poses[0][4:]),
                                    [1.1, 0.0, 0.0], atol=1e-5)
+
+    def test_inverse_distance_weighting(self):
+        """The nearest anchor dominates the blend (HistoricalPose.cpp:87
+        weight = 1/(eps + |offset|)): moving a FAR anchor perturbs the
+        reconstruction far less than moving the near one."""
+        import jax.numpy as jnp
+        import numpy as np
+        from mageslam_tpu.geometry import se3
+        from mageslam_tpu.mapstore import pose_history as ph
+
+        kf = jnp.stack([
+            se3.make_pose(se3.quat_identity(), jnp.array([-0.1, 0, 0])),
+            se3.make_pose(se3.quat_identity(), jnp.array([-3.0, 0, 0]))])
+        frame = se3.pose_identity()           # center at origin
+        h = ph.empty_history(4)
+        h = ph.add_pose(h, 1, 0.1, frame, jnp.array([0, 1]), kf)
+
+        def center_after(kf_mod):
+            poses, _ = ph.world_poses(h, kf_mod, jnp.ones(2, bool))
+            return np.asarray(se3.camera_center(poses[0]))
+
+        base = center_after(kf)
+        # translate the FAR anchor 0.3 in y (scale ratio barely changes)
+        far = center_after(kf.at[1, 5].add(-0.3))
+        # translate the NEAR anchor 0.3 in y
+        near = center_after(kf.at[0, 5].add(-0.3))
+        d_far = np.linalg.norm(far - base)
+        d_near = np.linalg.norm(near - base)
+        assert d_near > 5 * d_far, (d_near, d_far)
+
+    def test_seam_ramp_distribution(self):
+        """A frame whose anchors straddle a correction seam gets a
+        weighted INTERMEDIATE pose — the N-way blend ramps across the
+        seam instead of jumping with one side (the r4 two-anchor gap that
+        left rigid-mode fossils worse than no closure)."""
+        import jax.numpy as jnp
+        import numpy as np
+        from mageslam_tpu.geometry import se3
+        from mageslam_tpu.mapstore import pose_history as ph
+
+        # four anchors on a line; frame in the middle
+        xs = [-1.0, -0.4, 0.4, 1.0]
+        kf = jnp.stack([se3.make_pose(se3.quat_identity(),
+                                      jnp.array([-x, 0.0, 0.0]))
+                        for x in xs])
+        frame = se3.pose_identity()
+        h = ph.empty_history(4)
+        h = ph.add_pose(h, 1, 0.1, frame, jnp.arange(4), kf)
+        # rigid correction moves anchors 2,3 (one side of the seam) +1 y
+        kf2 = kf.at[2, 5].add(-1.0).at[3, 5].add(-1.0)
+        poses, ok = ph.world_poses(h, kf2, jnp.ones(4, bool))
+        assert bool(ok[0])
+        c = np.asarray(se3.camera_center(poses[0]))
+        # blended y strictly between the two sides, near the middle
+        assert 0.2 < c[1] < 0.8, c
+
+    def test_duplicate_anchors_collapse(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from mageslam_tpu.geometry import se3
+        from mageslam_tpu.mapstore import pose_history as ph
+        kf = jnp.stack([se3.pose_identity(),
+                        se3.make_pose(se3.quat_identity(),
+                                      jnp.array([-1.0, 0, 0]))])
+        frame = se3.make_pose(se3.quat_identity(),
+                              jnp.array([-0.5, 0.0, 0.0]))
+        h = ph.empty_history(4)
+        h = ph.add_pose(h, 1, 0.1, frame, jnp.array([0, 0, 1, 1]), kf)
+        a = np.asarray(h.anchor_kf[0])
+        # duplicates dropped: exactly one slot per distinct anchor
+        assert sorted(a[a >= 0].tolist()) == [0, 1], a
+        poses, ok = ph.world_poses(h, kf, jnp.ones(2, bool))
+        np.testing.assert_allclose(
+            np.asarray(se3.camera_center(poses[0])), [0.5, 0, 0],
+            atol=1e-5)
