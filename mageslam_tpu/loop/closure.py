@@ -93,14 +93,28 @@ def detect_loop(key: jax.Array, m: ms.MapState, db: bdb.BowDatabase,
     shared = fvalid & (midx >= 0) & (old_mp >= 0) & (own_assoc >= 0)
     old_pts = m.mp_pos[jnp.clip(old_mp, 0, L - 1)]
     cur_pts = m.mp_pos[jnp.clip(own_assoc, 0, L - 1)]
-    z_old = se3.pose_apply(rres.pose[None], old_pts)[:, 2]
+    y_old = se3.pose_apply(rres.pose[None], old_pts)
+    z_old = y_old[:, 2]
     z_cur = se3.pose_apply(m.kf_pose[kf_slot][None], cur_pts)[:, 2]
-    wsum = shared & (z_cur > 0.1) & (z_old > 0.1)
+    # GEOMETRIC verification of the descriptor matches (r5): a Hamming-50
+    # match across the seam's appearance change is frequently wrong, and
+    # junk pairs poison the depth-ratio median (measured: injected-drift
+    # scale estimated 1.36 where truth was 0.8).  Keep only matches whose
+    # OLD point, projected through the reloc pose, lands on its matched
+    # feature (<= 4 px) — the same reprojection consistency the reloc
+    # PnP inliers satisfy.
+    xn_pred = y_old[:, :2] / jnp.maximum(z_old, 1e-6)[:, None]
+    reproj = jnp.linalg.norm(xn_pred - m.kf_xn[kf_slot], axis=-1)
+    wsum = shared & (z_cur > 0.1) & (z_old > 0.1) \
+        & (reproj < 4.0 / fx)
     # MEDIAN of per-point depth ratios (robust; the r1-r3 sum-ratio let a
-    # single mismatched far point bias the whole map's scale correction)
+    # single mismatched far point bias the whole map's scale correction);
+    # an estimate with fewer than 5 verified pairs has no support — fall
+    # back to 1.0 (rigid correction) rather than apply a junk rescale
     ratios = jnp.where(wsum, z_old / jnp.maximum(z_cur, 1e-6), jnp.nan)
     scale = jnp.clip(jnp.nan_to_num(jnp.nanmedian(ratios), nan=1.0),
                      0.1, 10.0)
+    scale = jnp.where(jnp.sum(wsum) >= 5, scale, 1.0)
 
     # which cluster won
     ci = jnp.argmax(jnp.where(cand_idx == rres.candidate_kf,

@@ -66,8 +66,16 @@ class TestFleet:
             st, out = step(st, img, jnp.float32(f / 30.0), jnp.int32(f))
             outs.append(np.asarray(out))
         for f in (5, N_FRAMES - 1):
-            np.testing.assert_allclose(fleet._results[f][0], outs[f],
-                                       rtol=1e-5, atol=1e-5)
+            # slots 14-20 are the per-stage determinism HASHES (r5,
+            # device_engine._hash_fold): vmapped-fleet vs solo execution
+            # reorders float reductions by ~1 ulp, and the content hash
+            # amplifies any ulp difference to a different 24-bit value BY
+            # DESIGN (that is its job within one program).  Cross-PROGRAM
+            # equality is only meaningful for the semantic slots.
+            np.testing.assert_allclose(fleet._results[f][0][:14],
+                                       outs[f][:14], rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(fleet._results[f][0][21:],
+                                       outs[f][21:], rtol=1e-5, atol=1e-5)
 
     def test_stream_state_extraction(self, fleet_run):
         fleet, *_ = fleet_run

@@ -157,7 +157,11 @@ class TestTrajectoryShardingFromEngineMap:
             s.loop_closure, enable_loop_closure=False))
         world = SyntheticWorld.create_ring(900, seed=5)
         cal = default_calibration()
-        poses_gt = loop_trajectory(60, radius=3.0)
+        # 100 frames over 3/4 of the ring: same per-frame angular speed
+        # as the 150-frame e2e fixture (a 60-frame full revolution pans
+        # 2.5x faster than any fixture the init gates are sized for and
+        # bootstraps only sporadically)
+        poses_gt = loop_trajectory(100, radius=3.0, fraction=0.75)
         eng = MageSlamTPUFused(s, cal, seed=1)
         for i, p in enumerate(poses_gt):
             eng.process_frame(world.render(cal, p, seed=100 + i),
